@@ -1,0 +1,202 @@
+"""Spark extraction operator: pages DataFrame → extracted DataFrame.
+
+The Spark trace of ``PaddleOCR().ocr(img)`` (SURVEY.md §3.1): scan →
+ONE ``mapInPandas`` stage running the fused tokenize→score→merge per
+Arrow batch → write. Design points (SURVEY.md §4):
+
+ * one JVM↔Python crossing per Arrow batch (vs the reference's two
+   native-runtime crossings per image, predict_det.py:242-247 and
+   predict_rec.py:599-618);
+ * Catalyst column pruning: we select exactly ``(url, html)`` (+
+   passthrough cols) before the UDF so the parquet scan reads only
+   those (the KeepKeys analog, ppocr/data/imaug/operators.py:126-134);
+ * salted repartition on ``xxhash64(url, salt)`` replaces the
+   reference's static modulo sharding
+   (predict_system.py:149,259-270) and defuses host-domain skew;
+ * per-partition lineage rows (the ``time_dict`` analog,
+   predict_system.py:68-119) are emitted from the same UDF as extra
+   rows with a discriminator column and split afterwards — no second
+   pass over the html.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webextract.config import DEFAULT_CONFIG, ExtractConfig
+from webextract.functions.extract import extract_page
+
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("tag", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
+        T.StructField("mean_score", T.DoubleType(), True),
+        T.StructField("blocks_total", T.IntegerType(), True),
+        T.StructField("blocks_kept", T.IntegerType(), True),
+        T.StructField("bytes_in", T.LongType(), True),
+        T.StructField("truncated", T.BooleanType(), True),
+    ]
+)
+
+# unified schema when lineage rows ride along (rec_type discriminator)
+UNIFIED_SCHEMA = T.StructType(
+    [T.StructField("rec_type", T.StringType(), False)]
+    + EXTRACTED_SCHEMA.fields
+    + [
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("urls_in", T.LongType(), True),
+        T.StructField("lineage_bytes_in", T.LongType(), True),
+        T.StructField("lineage_blocks_kept", T.LongType(), True),
+        T.StructField("extract_ms", T.DoubleType(), True),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("urls_in", T.LongType(), True),
+        T.StructField("bytes_in", T.LongType(), True),
+        T.StructField("blocks_kept", T.LongType(), True),
+        T.StructField("extract_ms", T.DoubleType(), True),
+    ]
+)
+
+
+def _span_dicts(spans: list[tuple]) -> list[dict]:
+    return [
+        {"block_id": b, "start": s, "end": e, "tag": t, "score": sc}
+        for (b, s, e, t, sc) in spans
+    ]
+
+
+def _extract_frame(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    """One Arrow batch of (url, html) → extracted frame (vectorized loop
+    over the batch inside the Python worker — the per-row DOM parse is
+    irreducible, but it is amortized over the Arrow batch)."""
+    results = [extract_page(h, cfg) for h in pdf["html"]]
+    return pd.DataFrame(
+        {
+            "url": pdf["url"].to_numpy(),
+            "text": [r["text"] for r in results],
+            "spans": [_span_dicts(r["spans"]) for r in results],
+            "mean_score": [r["mean_score"] for r in results],
+            "blocks_total": [r["blocks_total"] for r in results],
+            "blocks_kept": [r["blocks_kept"] for r in results],
+            "bytes_in": [r["bytes_in"] for r in results],
+            "truncated": [r["truncated"] for r in results],
+        }
+    )
+
+
+def extract_pages(
+    pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """pages(url, html, ...) → extracted(url, text, spans, ...).
+
+    Pure results path (no lineage rows); ``select`` first so Catalyst
+    prunes the scan to (url, html).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_frame(pdf, cfg)
+
+    return pages.select("url", "html").mapInPandas(run, EXTRACTED_SCHEMA)
+
+
+def extract_pages_with_lineage(
+    pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Same, plus one lineage row per non-empty task partition, emitted
+    inline with ``rec_type='lineage'``. Split afterwards with
+    :func:`split_lineage` (persist the unified frame first if both
+    halves are consumed)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        t0 = time.perf_counter()
+        urls_in = 0
+        bytes_in = 0
+        blocks_kept = 0
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            out = _extract_frame(pdf, cfg)
+            urls_in += len(out)
+            bytes_in += int(out["bytes_in"].sum())
+            blocks_kept += int(out["blocks_kept"].sum())
+            out.insert(0, "rec_type", "page")
+            out["partition_id"] = pd.array([None] * len(out), dtype="Int32")
+            out["urls_in"] = pd.array([None] * len(out), dtype="Int64")
+            out["lineage_bytes_in"] = pd.array([None] * len(out), dtype="Int64")
+            out["lineage_blocks_kept"] = pd.array([None] * len(out), dtype="Int64")
+            out["extract_ms"] = pd.array([None] * len(out), dtype="float64")
+            yield out
+        if any_rows:
+            ms = (time.perf_counter() - t0) * 1000.0
+            yield pd.DataFrame(
+                {
+                    "rec_type": ["lineage"],
+                    "url": [None],
+                    "text": [None],
+                    "spans": [None],
+                    "mean_score": [None],
+                    "blocks_total": pd.array([None], dtype="Int32"),
+                    "blocks_kept": pd.array([None], dtype="Int32"),
+                    "bytes_in": pd.array([None], dtype="Int64"),
+                    "truncated": [None],
+                    "partition_id": pd.array([pid], dtype="Int32"),
+                    "urls_in": pd.array([urls_in], dtype="Int64"),
+                    "lineage_bytes_in": pd.array([bytes_in], dtype="Int64"),
+                    "lineage_blocks_kept": pd.array([blocks_kept], dtype="Int64"),
+                    "extract_ms": [ms],
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(run, UNIFIED_SCHEMA)
+
+
+def split_lineage(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """unified → (extracted, lineage) DataFrames."""
+    extracted = unified.filter(F.col("rec_type") == "page").select(
+        *[f.name for f in EXTRACTED_SCHEMA.fields]
+    )
+    lineage = unified.filter(F.col("rec_type") == "lineage").select(
+        F.col("partition_id"),
+        F.col("urls_in"),
+        F.col("lineage_bytes_in").alias("bytes_in"),
+        F.col("lineage_blocks_kept").alias("blocks_kept"),
+        F.col("extract_ms"),
+    )
+    return extracted, lineage
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int, key: str = "url", salt: int = 0
+) -> DataFrame:
+    """Repartition on ``xxhash64(key, salt)`` — uniform url-hash spread
+    regardless of host-domain skew (replaces the reference's
+    ``files[process_id::total]`` striping, predict_system.py:149)."""
+    return df.repartition(num_partitions, F.xxhash64(F.col(key), F.lit(salt)))
