@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps every implemented operator family (SURVEY.md §2 + the
+training-data-pipeline ops) to a (spark query, DuckDB oracle) pair.
+Oracles mirror the Spark arithmetic exactly: md5 everywhere a hash is
+needed (engine-portable), integer-derived features, single IEEE
+divisions (never re-rounded), DECIMAL sums for doubles, deterministic
+tie-breaks on every rank. Queries with no oracle entry are the
+genuinely non-SQL-expressible ones (the HTML tokenizer UDF internals,
+LSH-plane float sign buckets) — the driver records rows-only checks
+for those.
 """
 
 from __future__ import annotations
@@ -12,27 +16,450 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webextract.operators import dedup, events, multimodal, similarity, textstats
+from webextract.operators.extract import (
+    extract_pages,
+    extract_pages_with_lineage,
+    salted_repartition,
+    split_lineage,
+)
+from webextract.sources.pages import pages_from_documents
+
+EMB_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# spark queries
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: synthesize pages, extract main content, return (url, text).
+    Byte-identity vs the SQL-stated expectation is the whole game."""
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_pages(salted_repartition(pages, 32)).select("url", "text")
+
+
+def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction joined back to page metadata (equi-join on url — the
+    golden-compare join shape, SURVEY.md §2.3 J5), rolled up per lang."""
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages)
+    return (
+        ext.join(pages.select("url", "lang"), "url")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min(F.length("text")).alias("min_chars"),
+            F.max(F.length("text")).alias("max_chars"),
+        )
+    )
+
+
+def q_topk_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hosts by page count from extracted urls (window + limit,
+    SURVEY.md §2.5/2.6) — exercises the skewed host distribution."""
+    from pyspark.sql import Window
+
+    ext = q_extract(spark, sf_dir)
+    hosts = ext.select(
+        F.regexp_extract("url", "^https://([^/]+)/", 1).alias("host"),
+        F.length("text").alias("chars"),
+    )
+    agg = hosts.groupBy("host").agg(
+        F.count("*").alias("n_pages"), F.sum("chars").alias("total_chars")
+    )
+    w = Window.orderBy(F.col("n_pages").desc(), F.col("host").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "host", "n_pages", "total_chars")
+    )
+
+
+def q_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded span table (url, block_id, tag, start, end) — the
+    dt_boxes nested-array analog, flattened. No SQL oracle (the
+    tokenizer is the UDF)."""
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_pages(pages)
+    return ext.select("url", F.explode("spans").alias("s")).select(
+        "url", "s.block_id", "s.tag", "s.start", "s.end"
+    )
+
+
+def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage aggregate (the time_dict analog). Rows-only
+    check: wall-clock ms is non-deterministic by nature."""
+    pages = pages_from_documents(spark, sf_dir)
+    uni = extract_pages_with_lineage(salted_repartition(pages, 16))
+    _, lin = split_lineage(uni)
+    return lin.agg(
+        F.sum("urls_in").alias("urls_in"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("blocks_kept").alias("blocks_kept"),
+        F.count("*").alias("n_partitions"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 trigram-Jaccard pairs (bounded output at every sf)."""
+    from pyspark.sql import Window
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.0)
+    w = Window.orderBy(
+        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for queries vec_id<10 (ids + rank only:
+    rankings are float-robust, raw sims are not engine-portable)."""
+    emb = _emb(spark, sf_dir)
+    q = similarity.make_queries(emb, 10)
+    return similarity.cosine_topk(emb, q, 5).select("query_id", "rank", "neighbor_id")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: float sign buckets aren't portable)."""
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir), EMB_DIM, 5, 10).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.hourly_rollup(_events(spark, sf_dir))
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(_events(spark, sf_dir))
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.top_users_by_value(_events(spark, sf_dir))
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth media table → Arrow-batched stub decode (multimodal
+    plumbing e2e; the fake header makes the decode SQL-statable)."""
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.decode_media(media)
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.media_metadata(media).select("media_id", "n_bytes", "format")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract": q_extract,
+        "extract_lang_stats": q_extract_lang_stats,
+        "topk_hosts": q_topk_hosts,
+        "extract_blocks": q_extract_blocks,
+        "lineage": q_lineage,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard_top": q_dedup_jaccard_top,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk": q_sim_topk,
+        "ann_lsh": q_ann_lsh,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_top_users": q_events_top_users,
+        "media_decode": q_media_decode,
+        "media_meta": q_media_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL mirrors)
+# ---------------------------------------------------------------------------
+
+_HOST = "CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 37 END"
+_URL = (
+    f"'https://host' || CAST({_HOST} AS VARCHAR) || '.example/doc/' || "
+    "CAST(doc_id AS VARCHAR)"
+)
+_EXTRACTED = (
+    "'Document ' || CAST(doc_id AS VARCHAR) || ' from ' || source || "
+    "chr(10) || chr(10) || text"
+)
+
+_SHINGLES3 = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(len(t) - 2),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+"""
+
+_MINHASH_COLS = ",\n    ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(dedup.MINHASH_K)
+)
+_MINHASH = f"""
+WITH {_SHINGLES3},
+  mh AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id)
+"""
+
+_R = dedup.MINHASH_K // dedup.LSH_BANDS
+_BANDS_UNION = "\n    UNION ALL\n    ".join(
+    "SELECT doc_id, {b} AS band_id, md5({cat}) AS bh FROM mh".format(
+        b=b, cat=" || ".join(f"mh{b * _R + j}" for j in range(_R))
+    )
+    for b in range(dedup.LSH_BANDS)
+)
+
+
+def _simhash_sql() -> str:
+    digit_cols = ",\n      ".join(
+        f"CAST(('0x' || substr(md5(t), {p + 1}, 1)) AS INTEGER) AS d{p}"
+        for p in range(dedup.SIMHASH_HEX)
+    )
+    votes = []
+    sig_terms = []
+    for p in range(dedup.SIMHASH_HEX):
+        for shift in (3, 2, 1, 0):
+            idx = p * 4 + (3 - shift)
+            div = 1 << shift
+            votes.append(f"SUM(((d{p} // {div}) % 2) * 2 - 1) AS v{idx}")
+            sig_terms.append(f"(CASE WHEN v{idx} > 0 THEN {1 << idx} ELSE 0 END)")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+  d AS (SELECT doc_id,
+      {digit_cols}
+    FROM tok),
+  v AS (SELECT doc_id, {", ".join(votes)} FROM d GROUP BY doc_id)
+SELECT doc_id, CAST({" + ".join(sig_terms)} AS INTEGER) AS simhash FROM v
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "extract": f"SELECT {_URL} AS url, {_EXTRACTED} AS text FROM documents",
+        "extract_lang_stats": f"""
+            WITH e AS (SELECT lang, {_EXTRACTED} AS text FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(length(text)) AS total_chars,
+                   MIN(length(text)) AS min_chars,
+                   MAX(length(text)) AS max_chars
+            FROM e GROUP BY lang
+        """,
+        "topk_hosts": f"""
+            WITH e AS (
+              SELECT 'host' || CAST({_HOST} AS VARCHAR) || '.example' AS host,
+                     length({_EXTRACTED}) AS chars
+              FROM documents),
+            a AS (SELECT host, COUNT(*) AS n_pages, SUM(chars) AS total_chars
+                  FROM e GROUP BY host),
+            r AS (SELECT *, row_number() OVER (ORDER BY n_pages DESC, host ASC) AS rank
+                  FROM a)
+            SELECT rank, host, n_pages, total_chars FROM r WHERE rank <= 10
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash": f"{_MINHASH} SELECT * FROM mh",
+        "dedup_lsh_pairs": f"""
+            {_MINHASH},
+            bands AS ({_BANDS_UNION})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+        """,
+        "dedup_jaccard_top": f"""
+            WITH {_SHINGLES3},
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            j AS (
+              SELECT doc_a, doc_b,
+                     CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b),
+            r AS (SELECT *, row_number() OVER
+                    (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rank FROM j)
+            SELECT rank, doc_a, doc_b, jaccard FROM r WHERE rank <= 100
+        """,
+        "dedup_simhash": _simhash_sql(),
+        "sim_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        """,
+        "token_stats": rf"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_pieces,
+                   length(text) AS n_chars_obs
+            FROM documents
+        """,
+        "quality": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(list_filter(string_split(text, ' '),
+                         t -> t IN ({", ".join(repr(s) for s in textstats.STOPWORDS)}))) AS n_stopwords,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha
+              FROM documents)
+            SELECT doc_id, n_tokens, n_stopwords,
+                   CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+                   CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+                   n_alpha = n_tokens AS all_alpha
+            FROM b
+        """,
+        "langid": _langid_sql(),
+        "fingerprints": r"""
+            WITH c AS (SELECT doc_id,
+                              lower(regexp_replace(text, '\s+', ' ', 'g')) AS canon
+                       FROM documents)
+            SELECT doc_id, md5(canon) AS fp, length(canon) AS canon_len FROM c
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": f"""
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  > {events.SESSION_GAP_MIN * 60 * 1_000_000}
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, ts,
+                         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                  FROM g)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts) AS t_start, MAX(ts) AS t_end
+            FROM s GROUP BY user_id, session_id
+        """,
+        "events_top_users": """
+            WITH t AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY user_id),
+            r AS (SELECT *, row_number() OVER
+                    (ORDER BY total_value DESC, user_id ASC) AS rank FROM t)
+            SELECT rank, user_id, total_value, n_events FROM r WHERE rank <= 10
+        """,
+        "media_decode": """
+            SELECT doc_id AS media_id, 'fakeimg' AS format,
+                   CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+                   CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   true AS ok
+            FROM documents
+        """,
+        "media_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   'unknown' AS format
+            FROM documents
+        """,
+        # extract_blocks, lineage, ann_lsh: intentionally no oracle
+        # (UDF-internal tokenization / wall-clock / float sign buckets).
+    }
+
+
+def _langid_sql() -> str:
+    counts = []
+    for lang in textstats.LANG_ORDER:
+        markers = ", ".join(repr(m) for m in textstats.LANG_MARKERS[lang])
+        counts.append(
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({markers}))) AS c_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in textstats.LANG_ORDER) + ")"
+    pred = "'und'"
+    for lang in reversed(textstats.LANG_ORDER):
+        pred = f"CASE WHEN best > 0 AND c_{lang} = best THEN '{lang}' ELSE {pred} END"
+    cols = ", ".join(f"c_{lang}" for lang in textstats.LANG_ORDER)
+    return f"""
+        WITH b AS (SELECT doc_id, lang, {", ".join(counts)} FROM documents),
+        m AS (SELECT *, {best} AS best FROM b)
+        SELECT doc_id, lang, {pred} AS pred_lang, {cols} FROM m
     """
-    return {}

@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Protocol (mirrors the reference's benchmark discipline): a warm-up
+extraction run is executed and discarded (predict_system.py:163-167 /
+run_benchmark_det.sh:16 skip-first-steps rule), then each headline
+query runs once, fully materialized via the noop sink (no driver
+collect). The flagship number is pages/sec over the replicated pages
+fixture; per-query wall seconds ride in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAGE_REPLICAS = int(os.environ.get("WEBEXTRACT_BENCH_REPLICAS", "8"))
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    import __spark_entry__ as entrymod
+    from webextract.operators.extract import extract_pages, salted_repartition
+    from webextract.session import get_spark
+    from webextract.sources.pages import pages_replicated
+
+    spark = get_spark("webextract-bench", master=f"local[{cpus}]")
+
+    # -- flagship: extraction throughput over the replicated fixture ----
+    n_parts = int(cpus) * 2 if cpus.isdigit() else 64
+    pages = pages_replicated(spark, sf_dir, PAGE_REPLICAS)
+    n_pages = pages.count()
+
+    # warm-up (discarded): JIT + codegen + Python-worker pool spin-up
+    materialize(extract_pages(salted_repartition(pages, n_parts)))
+
+    t0 = time.perf_counter()
+    materialize(extract_pages(salted_repartition(pages, n_parts)))
+    extract_sec = time.perf_counter() - t0
+    pages_per_sec = n_pages / extract_sec
+
+    # -- headline operator queries (one timed run each) -----------------
+    qs = entrymod.queries()
+    headline = [
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_lsh_pairs",
+        "dedup_jaccard_top",
+        "dedup_simhash",
+        "sim_topk",
+        "token_stats",
+        "quality",
+        "langid",
+        "fingerprints",
+        "events_hourly",
+        "events_sessions",
+        "media_decode",
+    ]
+    per_query: dict[str, float] = {"extract": round(extract_sec, 3)}
+    for name in headline:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "pages": n_pages,
+                "pages_per_sec": round(pages_per_sec, 1),
+                "cpus": int(cpus) if cpus.isdigit() else cpus,
+                "page_replicas": PAGE_REPLICAS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

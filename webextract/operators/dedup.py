@@ -1,0 +1,215 @@
+"""Deduplication operators over ``documents(doc_id, text, ...)``.
+
+Training-data dedup at corpus scale — exact, MinHash+LSH, SimHash and
+n-gram Jaccard. The reference's nearest relative is its CTC
+neighbor-dedup (drop a region whose decode repeats its neighbor,
+ppocr/postprocess/rec_postprocess.py:76-81) and the IoU-based
+pred↔gt matcher (ppocr/metrics/eval_det_iou.py); here the "overlap
+measure" is set similarity of shingles instead of box geometry.
+
+Scale design (the part that matters at 10^12 docs):
+ * every similarity join goes through a BUCKET KEY (hash prefix, LSH
+   band, or shingle id) so the shuffle is an equi-join — never an
+   O(n^2) cross product;
+ * signatures are fixed-width (k mins / one 16-bit int), so the
+   signature table is tiny next to the corpus and the pair-join
+   shuffles signatures, not documents;
+ * all hashing is md5 (deterministic, engine-portable) — the DuckDB
+   oracles in ``__spark_entry__.py`` reproduce every value exactly;
+ * everything is JVM built-ins inside whole-stage codegen — no Python
+   worker in any dedup path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# frozen dedup knobs (analog of the reference's det thresholds,
+# db_postprocess.py:33-37)
+MINHASH_K = 8          # minhash permutations
+LSH_BANDS = 4          # bands (rows per band = MINHASH_K // LSH_BANDS)
+SHINGLE_N = 3          # words per shingle
+SIMHASH_HEX = 4        # md5 hex chars per token → 16-bit simhash
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    keeper (min doc_id) and the duplicate count. Map-side partial agg +
+    one shuffle on the 128-bit hash — uniform by construction, no skew
+    handling needed."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Built with ``transform`` over a ``sequence`` — the shingle array is
+    materialized per row inside codegen, then exploded. For n=1 this is
+    the distinct token set.
+    """
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) -> DataFrame:
+    """MinHash signatures: mh_i = min over shingles of md5(i || ':' || shingle).
+
+    One pass over the exploded shingle set computes all k mins as
+    parallel aggregates (partial min map-side, one shuffle on doc_id).
+    md5-as-string min is the portable stand-in for k independent hash
+    permutations; collision behavior matches a 128-bit hash family.
+    """
+    sh = shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs agreeing on ALL
+    rows of any band collide. The pair join is an equi-join on
+    (band_id, band_hash) — the classic band-bucket shuffle; a band
+    whose bucket explodes (degenerate corpora) is bounded upstream by
+    shingling, not here.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(docs, k, n)
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)])).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    bt = sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("band")
+    ).select("doc_id", "band.band_id", "band.bh")
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 1, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    The inverted-index join: explode shingles, self-join on the shingle
+    (equi-join — pairs never sharing a shingle are never materialized),
+    count intersections, then |A∪B| = |A|+|B|−|A∩B|. This is the
+    set-similarity analog of ``compute_iou`` (ppstructure/table/
+    matcher.py:19-38) where the boxes are shingle sets.
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    # jaccard stays un-rounded: inter/union is one IEEE division of exact
+    # ints — bit-identical across engines (round() is not, HALF_UP vs
+    # HALF_EVEN at a terminating boundary digit).
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc from md5-derived token bits.
+
+    Per token, the first 4 md5 hex digits give 16 bits; each bit votes
+    ±1; signature bit b is set when the vote is positive. All bit math
+    is integer arithmetic on hex-digit values (conv in Spark, hex cast
+    in DuckDB) so the oracle matches exactly. Near-dups share the
+    signature → dedup is a groupBy.
+    """
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = F.md5(F.col("t"))
+    digits = [
+        F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int") for p in range(SIMHASH_HEX)
+    ]
+    # digit d contributes 4 bits: (d>>3)&1, (d>>2)&1, (d>>1)&1, d&1
+    bit_votes = []
+    for p, d in enumerate(digits):
+        for shift in (3, 2, 1, 0):
+            bit = F.shiftright(d, shift).bitwiseAND(F.lit(1))
+            bit_votes.append((p * 4 + (3 - shift), bit))
+    aggs = [
+        F.sum(bit * 2 - 1).alias(f"v{idx}") for idx, bit in bit_votes
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for idx, _ in bit_votes:
+        term = F.when(F.col(f"v{idx}") > 0, F.lit(1 << idx)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("int").alias("simhash"))
+
+
+def simhash_clusters(docs: DataFrame) -> DataFrame:
+    """Docs grouped by identical simhash → (simhash, keeper, n_members)."""
+    return (
+        simhash_signatures(docs)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_members"))
+    )
+
+
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """The end-to-end exact-dedup operator: returns the surviving rows
+    (first doc_id per distinct text). Window row_number over the hash —
+    one shuffle, no driver collect."""
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

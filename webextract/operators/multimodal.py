@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference ingests images as raw bytes and decodes them in its first
+op (``DecodeImage``, ppocr/data/imaug/operators.py:30-68; GIF/PDF
+dispatch in ``check_and_read``, ppocr/utils/utility.py:94-124). This
+module reproduces that shape for a training-data pipeline: media rides
+as a ``binary`` column with typed metadata; format sniffing and byte
+accounting are JVM built-ins; decode / resize / frame-sample are
+Arrow-batched ``mapInPandas`` stages.
+
+The actual codec step is STUBBED — image/audio libraries are not in
+this container — behind ``decode_stub``: a clearly-marked
+deterministic fake that parses our synthetic header format. The Spark
+side (schema, batch shape, partitioning, UDF signature) is real and
+tested; swapping the stub for cv2/PIL is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# magic-byte → format map (public file signatures), applied JVM-side
+MAGIC = {
+    "89504E47": "png",
+    "FFD8FFE0": "jpeg",
+    "FFD8FFE1": "jpeg",
+    "47494638": "gif",
+    "25504446": "pdf",
+    "52494646": "riff",  # wav/avi container
+}
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """JVM-side metadata: byte length, md5, magic-sniffed format.
+
+    No Python worker — the format dispatch the reference does per-file
+    in ``check_and_read`` is a codegen CASE over the first 4 bytes.
+    """
+    magic_hex = F.upper(F.hex(F.substring(F.col("payload"), 1, 4)))
+    fmt = F.lit("unknown")
+    for sig, name in MAGIC.items():
+        fmt = F.when(magic_hex == sig, F.lit(name)).otherwise(fmt)
+    return media.select(
+        "media_id",
+        F.length(F.col("payload")).alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        fmt.alias("format"),
+    )
+
+
+def _parse_fake_header(b: bytes | None) -> tuple[str, int, int, bool]:
+    """STUB decoder for the deterministic synthetic payload format
+    ``b"IMG!" + width(4, big-endian) + height(4) + pixels`` produced by
+    :func:`synth_media`. A real deployment replaces this body with
+    cv2.imdecode / PIL.open; everything around it is unchanged."""
+    if b is None or len(b) < 12 or b[:4] != b"IMG!":
+        return ("unknown", 0, 0, False)
+    w = int.from_bytes(b[4:8], "big")
+    h = int.from_bytes(b[8:12], "big")
+    return ("fakeimg", w, h, True)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: one ``mapInPandas`` crossing, mirrors the
+    extraction operator's batching. Emits typed decode results; a real
+    codec drops in at :func:`_parse_fake_header` only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            parsed = [_parse_fake_header(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["payload"]],
+                    "ok": [p[3] for p in parsed],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stage — NOT IMPLEMENTED in this container (no image libs).
+    The plumbing (signature, schema) is the contract; raises on use."""
+    raise NotImplementedError(
+        "resize requires an image codec (cv2/PIL) not present in this "
+        "container; decode_media demonstrates the batching contract"
+    )
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from documents: payload =
+    fake-image header + text bytes. Pure built-ins (concat over binary)."""
+    w = (F.col("doc_id") % 64 + 1).cast("int")
+    h = (F.col("doc_id") % 48 + 1).cast("int")
+
+    def be4(c):  # 4-byte big-endian from an int column, via hex string
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    payload = F.concat(
+        F.lit(b"IMG!"), be4(w), be4(h), F.encode(F.col("text"), "UTF-8")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("application/x-fakeimg").alias("mime"),
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over ``embeddings(vec_id, embedding: array<float>, label)``.
+
+Approximate-nearest-neighbor operators for embedding-space dedup and
+retrieval. The reference's closest op is the nearest-neighbor matcher
+that assigns each OCR box to its argmin-distance table cell
+(ppstructure/table/matcher.py:76-97 — a broadcast-style NN join); here
+the metric is cosine over embedding vectors.
+
+Scale design:
+ * the QUERY side is broadcast (small by construction) — the corpus
+   side streams through codegen, no shuffle of the big table for the
+   brute-force path;
+ * dot products run JVM-side via ``zip_with`` + ``aggregate`` (double
+   accumulation in array order — deterministic, matches the DuckDB
+   oracle's list arithmetic);
+ * the LSH path buckets vectors by sign-bit sketch first, so at 100 TB
+   the candidate join is an equi-join on the sketch, touching only
+   same-bucket pairs; brute force stays as the small-scale/recall
+   baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 6           # sign bits in the LSH sketch (2^6 buckets; at
+                       # 10^12 scale raise this so bucket ≈ task size)
+PLANE_SEED = 42        # frozen hyperplane seed
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in array order, double accumulator (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm (computed once, reused across every query)."""
+    c = F.col(col)
+    return emb.withColumn("norm", F.sqrt(_dot(c, c)))
+
+
+def cosine_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k: every query vs the full corpus.
+
+    ``queries(query_id, q_embedding)`` is broadcast; the corpus streams
+    through one codegen stage computing the dot product; ranking is a
+    per-query window (ties broken by vec_id for determinism). Returns
+    (query_id, rank, neighbor_id, sim) with sim rounded to 6 decimals.
+    """
+    q = F.broadcast(queries)
+    corpus = with_norm(emb)
+    sim = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        F.col("norm") * F.col("q_norm")
+    )
+    scored = (
+        corpus.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def make_queries(emb: DataFrame, n: int = 10) ->  DataFrame:
+    """Deterministic query set: the n smallest vec_ids, with norms."""
+    q = emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return q.withColumn("q_norm", F.sqrt(_dot(F.col("q_embedding"), F.col("q_embedding"))))
+
+
+def _planes(dim: int, n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> np.ndarray:
+    """Frozen pseudo-random hyperplanes (seeded — deterministic across
+    runs and cluster sizes)."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_planes, dim))
+
+
+def lsh_sketch(emb: DataFrame, dim: int, col: str = "embedding") -> DataFrame:
+    """Sign-bit sketch: bit p = [plane_p · v > 0]. The planes enter the
+    plan as literal arrays (broadcast by value); the sketch is one
+    integer per vector — the ANN bucket key at scale."""
+    planes = _planes(dim)
+    sketch = None
+    for p in range(planes.shape[0]):
+        lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bit = F.when(_dot(F.col(col), lit) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sketch = bit if sketch is None else sketch + bit
+    return emb.withColumn("sketch", sketch.cast("int"))
+
+
+def ann_lsh_topk(
+    emb: DataFrame, dim: int, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's sketch bucket.
+
+    At 10^12 scale the bucket join replaces the full scan: the corpus
+    is hash-partitioned by sketch once (write-time bucketing in
+    production), and each query touches ~corpus/2^planes candidates.
+    Recall vs :func:`cosine_topk` is measured in tests. Returns
+    (query_id, rank, neighbor_id, sim).
+    """
+    sk = lsh_sketch(with_norm(emb), dim)
+    q = F.broadcast(
+        sk.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("norm").alias("q_norm"),
+            F.col("sketch").alias("q_sketch"),
+        )
+    )
+    sim = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        F.col("norm") * F.col("q_norm")
+    )
+    cand = (
+        sk.join(q, F.col("sketch") == F.col("q_sketch"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, dim: int, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Self-join within sketch buckets only (equi-join on the sketch), then
+    the cosine threshold. The 100 TB story: bucket cardinality 2^planes
+    keeps each bucket's pair count quadratic-in-bucket, linear overall.
+    """
+    sk = lsh_sketch(with_norm(emb), dim)
+    a = sk.alias("a")
+    b = sk.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sketch") == F.col("b.sketch"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -101,6 +101,25 @@ def expected_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_replicated(
+    spark: SparkSession, sf_dir: str, replicas: int
+) -> DataFrame:
+    """The pages table blown up ``replicas``× with distinct urls — the
+    benchmark fixture standing in for the 10^6-page sample of the 10^12
+    schema. Replication is an ``explode(sequence(...))`` inside codegen
+    (no driver loop, no extra storage); host skew is preserved because
+    the replica index rides in the path, not the host."""
+    base = pages_from_documents(spark, sf_dir)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+    return base.select("*", rep).select(
+        F.concat(F.col("url"), F.lit("/r/"), F.col("rep").cast("string")).alias("url"),
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+    )
+
+
 # ---------------------------------------------------------------------------
 # pytest fixture pages (variety matrix, FIXTURES.md)
 # ---------------------------------------------------------------------------
