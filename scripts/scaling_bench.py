@@ -1,0 +1,106 @@
+"""Two-cluster-size scaling protocol (BASELINE.md): run the IDENTICAL
+extraction job at local[N] and local[4N] on the same input and report
+throughput at both plus efficiency = thr(4N) / (4 * thr(N)).
+
+This is the sandbox stand-in for N vs 4N executors (a local[k] master
+is fixed per JVM, so each level runs in its own python subprocess) and
+mirrors the reference's sp-vs-mp benchmark protocol
+(benchmark/readme.md:15, skip-warmup rule run_benchmark_det.sh:16).
+
+Usage: python scripts/scaling_bench.py [sf_dir] [N] [replicas]
+Writes scaling JSON to stdout (last line) for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_GEN = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from webextract.session import get_spark
+from webextract.sources.pages import pages_replicated
+
+sf_dir, replicas, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+spark = get_spark("pages-gen", master="local[32]")
+# 64 output files -> any parallelism level up to 64 gets full splits,
+# mirroring a real many-file crawl table
+pages_replicated(spark, sf_dir, replicas, partitions=64) \
+    .write.mode("overwrite").parquet(out)
+spark.stop()
+"""
+
+# The measured job is the production shape: parquet scan -> one
+# mapInPandas extraction stage -> sink. No synthesis in the timed path.
+_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from webextract.session import get_spark
+from webextract.operators.extract import extract_pages
+
+pages_path, cpus = sys.argv[1], int(sys.argv[2])
+spark = get_spark("scaling-bench", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+pages = spark.read.parquet(pages_path)
+n = pages.count()
+
+def run():
+    t0 = time.perf_counter()
+    extract_pages(pages).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+run()                      # warm-up, discarded
+secs = min(run(), run())   # best of 2 measured runs
+print(json.dumps({"cpus": cpus, "pages": n, "sec": secs,
+                  "pages_per_sec": n / secs}))
+spark.stop()
+"""
+
+
+def run_level(pages_path: str, cpus: int) -> dict:
+    """One cluster size = one pinned core budget: the whole JVM + its
+    python workers share exactly ``cpus`` cores (taskset), exactly as an
+    N-core cluster would. Without pinning, the small config borrows the
+    idle cores for its JVM scan/Arrow threads and the comparison is not
+    N vs 4N."""
+    cmd = [sys.executable, "-c", _WORKER, pages_path, str(cpus)]
+    total = os.cpu_count() or cpus
+    if cpus < total:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    pages_path = os.environ.get("WEBEXTRACT_BENCH_PAGES", "/tmp/webextract_bench_pages")
+    subprocess.run(
+        [sys.executable, "-c", _GEN, sf_dir, str(replicas), pages_path],
+        capture_output=True, text=True, check=True,
+    )
+    lo = run_level(pages_path, n)
+    hi = run_level(pages_path, 4 * n)
+    eff = hi["pages_per_sec"] / (4 * lo["pages_per_sec"])
+    result = {
+        "sf_dir": sf_dir,
+        "pages": lo["pages"],
+        "n_cpus": n,
+        "throughput_N": round(lo["pages_per_sec"], 1),
+        "throughput_4N": round(hi["pages_per_sec"], 1),
+        "sec_N": round(lo["sec"], 2),
+        "sec_4N": round(hi["sec"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Unit/integration tests for the training-data-pipeline operators:
+dedup family, similarity search (incl. ANN recall), text stats, events,
+multimodal plumbing. Correctness-by-construction cases on tiny
+hand-made frames + invariants on the driver testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webextract.operators import dedup, events, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    res = {r["keeper"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert res == {1: 2, 3: 1}
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(5, "a"), (2, "a"), (9, "b")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_keep_first(df).collect())
+    assert kept == [2, 9]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "x1 x2 x3 x4 x5")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(dedup.MINHASH_K))
+            for r in dedup.minhash_signatures(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_lsh_pairs_catch_near_duplicates(spark):
+    base = "the cat sat on the mat and looked out of the window today"
+    near = base + " quietly"         # one extra word → high shingle overlap
+    far = "completely different words compose this other document here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles of "a b c d" (3-grams): {a b c, b c d} ; doc2: "a b c e": {a b c, b c e}
+    # inter=1, union=3 → jaccard 1/3
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    rows = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_simhash_identical_share_and_signature_range(spark, docs):
+    sig = dedup.simhash_signatures(docs)
+    mm = sig.agg(F.min("simhash"), F.max("simhash")).first()
+    assert 0 <= mm[0] and mm[1] < 65536
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    vals = [r["simhash"] for r in dedup.simhash_signatures(df).collect()]
+    assert vals[0] == vals[1]
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_cosine_topk_self_excluded_and_ordered(spark, emb):
+    q = similarity.make_queries(emb, 3)
+    res = similarity.cosine_topk(emb, q, 5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] != qid for r in rows)
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, emb):
+    q = similarity.make_queries(emb, 10)
+    brute = similarity.cosine_topk(emb, q, 5).collect()
+    ann = similarity.ann_lsh_topk(emb, 64, 5, 10).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    # bucketed ANN must be a meaningful approximation: same-bucket
+    # neighbors recovered; recall ≥ 0.3 at 64 buckets on 500 vectors
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.3
+    # and every ANN hit is a true same-bucket candidate with rank ≤ 5
+    assert all(r["rank"] <= 5 for r in ann)
+
+
+def test_embedding_near_dup_pairs_planted(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = similarity.embedding_near_dup_pairs(df, 4, threshold=0.99).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(1, 2)}
+
+
+# -- textstats --------------------------------------------------------------
+
+def test_token_stats_known_values(spark):
+    df = spark.createDataFrame([(1, "ab cd 12 x!")], ["doc_id", "text"])
+    r = textstats.token_stats(df).first()
+    assert r["n_tokens"] == 4
+    assert r["n_pieces"] == 5          # ab, cd, 12, x, !
+    assert r["n_chars_obs"] == 11
+
+
+def test_quality_scores_known_values(spark):
+    df = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
+    r = textstats.quality_scores(df).first()
+    assert r["n_tokens"] == 3 and r["n_stopwords"] == 1
+    assert abs(r["stop_ratio"] - 1 / 3) < 1e-12
+    assert abs(r["mean_tok_len"] - 3.0) < 1e-12
+    assert r["all_alpha"] is True
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the dog of the house"),
+            (2, "de", "der hund und die katze ist nicht da"),
+            (3, "fr", "zzz qqq www"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    rows = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(df).collect()}
+    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "und"
+
+
+def test_fingerprint_whitespace_canon(spark):
+    df = spark.createDataFrame(
+        [(1, "A  B\tC"), (2, "a b c")], ["doc_id", "text"]
+    )
+    fps = [r["fp"] for r in textstats.fingerprints(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1]
+
+
+# -- events -----------------------------------------------------------------
+
+def test_sessionize_gap_splits(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 10),
+        (2, base + dt.timedelta(minutes=10), 10),   # same session
+        (3, base + dt.timedelta(minutes=50), 10),   # 40min gap → new session
+        (4, base + dt.timedelta(minutes=55), 11),   # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    res = events.sessionize(df).collect()
+    u10 = sorted(
+        [(r["session_id"], r["n_events"]) for r in res if r["user_id"] == 10]
+    )
+    assert u10 == [(1, 2), (2, 1)]
+    assert sum(1 for r in res if r["user_id"] == 11) == 1
+
+
+def test_hourly_rollup_sums(spark, request):
+    ev = request.getfixturevalue("spark").read.parquet(f"{SF}/events.parquet")
+    rolled = events.hourly_rollup(ev)
+    assert rolled.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_media_roundtrip(spark, docs):
+    media = multimodal.synth_media(docs)
+    dec = multimodal.decode_media(media)
+    bad = dec.filter(
+        (~F.col("ok"))
+        | (F.col("width") != (F.col("media_id") % 64 + 1).cast("int"))
+        | (F.col("height") != (F.col("media_id") % 48 + 1).cast("int"))
+    ).count()
+    assert bad == 0
+    meta = multimodal.media_metadata(media)
+    assert meta.filter(F.col("format") != "unknown").count() == 0
+    assert meta.filter(F.col("n_bytes") <= 12).count() == 0
+
+
+def test_magic_sniffing(spark):
+    rows = [
+        (1, bytes.fromhex("89504E47") + b"rest"),
+        (2, bytes.fromhex("FFD8FFE0") + b"rest"),
+        (3, b"plain bytes"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    fmts = {
+        r["media_id"]: r["format"]
+        for r in multimodal.media_metadata(df).collect()
+    }
+    assert fmts == {1: "png", 2: "jpeg", 3: "unknown"}
+
+
+def test_resize_is_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_media(multimodal.synth_media(docs), 32, 32)

@@ -107,31 +107,54 @@ def lsh_sketch(emb: DataFrame, dim: int, col: str = "embedding") -> DataFrame:
     return emb.withColumn("sketch", sketch.cast("int"))
 
 
+def _probe_masks(n_planes: int = N_PLANES, radius: int = 2) -> list[int]:
+    """XOR masks enumerating all sketches within Hamming ``radius``."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
 def ann_lsh_topk(
-    emb: DataFrame, dim: int, k: int = 5, n_queries: int = 10
+    emb: DataFrame, dim: int, k: int = 5, n_queries: int = 10, radius: int = 2
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's sketch bucket.
+    """Multi-probe LSH ANN: each query probes every bucket within
+    Hamming ``radius`` of its own sign-bit sketch (sign-LSH loses near
+    neighbors that straddle one or two hyperplanes; probing the
+    adjacent buckets buys the recall back at bounded cost — with 6
+    planes and radius 2 a query touches 22 of 64 buckets).
 
     At 10^12 scale the bucket join replaces the full scan: the corpus
     is hash-partitioned by sketch once (write-time bucketing in
-    production), and each query touches ~corpus/2^planes candidates.
+    production) and the probe set is an equi-join on the sketch key.
     Recall vs :func:`cosine_topk` is measured in tests. Returns
     (query_id, rank, neighbor_id, sim).
     """
     sk = lsh_sketch(with_norm(emb), dim)
+    masks = F.array(*[F.lit(m) for m in _probe_masks(N_PLANES, radius)])
     q = F.broadcast(
-        sk.filter(F.col("vec_id") < n_queries).select(
+        sk.filter(F.col("vec_id") < n_queries)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_embedding"),
             F.col("norm").alias("q_norm"),
+            F.explode(masks).alias("mask"),
             F.col("sketch").alias("q_sketch"),
         )
+        .withColumn("probe", F.col("q_sketch").bitwiseXOR(F.col("mask")))
+        .drop("mask", "q_sketch")
     )
     sim = _dot(F.col("embedding"), F.col("q_embedding")) / (
         F.col("norm") * F.col("q_norm")
     )
     cand = (
-        sk.join(q, F.col("sketch") == F.col("q_sketch"))
+        sk.join(q, F.col("sketch") == F.col("probe"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
     )

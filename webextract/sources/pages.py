@@ -102,14 +102,53 @@ def expected_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pages_replicated(
-    spark: SparkSession, sf_dir: str, replicas: int
+    spark: SparkSession,
+    sf_dir: str,
+    replicas: int,
+    body_repeat: int = 8,
+    partitions: int | None = None,
 ) -> DataFrame:
     """The pages table blown up ``replicas``× with distinct urls — the
     benchmark fixture standing in for the 10^6-page sample of the 10^12
-    schema. Replication is an ``explode(sequence(...))`` inside codegen
-    (no driver loop, no extra storage); host skew is preserved because
-    the replica index rides in the path, not the host."""
-    base = pages_from_documents(spark, sf_dir)
+    schema. ``body_repeat`` repeats the body paragraph so page weight
+    approaches real Common-Crawl html (tens of KB), keeping the
+    per-page extraction cost representative. Replication is an
+    ``explode(sequence(...))`` inside codegen (no driver loop, no extra
+    storage); host skew is preserved because the replica index rides in
+    the path, not the host."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions:
+        # spread the SMALL doc rows before the heavy html synthesis: the
+        # shuffle moves kilobytes, and synth + explode + downstream
+        # extraction then share one fully-parallel stage. (A real crawl
+        # table scans as many splits natively; the tiny single-file
+        # fixture would otherwise serialize the whole pipeline into one
+        # task.) Salting on doc_id hash = the url-skew defense, applied
+        # where it's cheap.
+        docs = docs.repartition(partitions, F.xxhash64(F.col("doc_id")))
+    doc_id = F.col("doc_id")
+    host = F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
+    headline = F.concat(
+        F.lit("Document "), doc_id.cast("string"), F.lit(" from "), F.col("source")
+    )
+    body = F.concat_ws(
+        "</p><p>", F.array_repeat(F.col("text"), body_repeat)
+    )
+    html_str = F.concat(
+        F.lit(_TPL_HEAD), headline, F.lit(_TPL_MID), body, F.lit(_TPL_TAIL)
+    )
+    base = docs.select(
+        F.concat(
+            F.lit("https://host"),
+            host.cast("string"),
+            F.lit(".example/doc/"),
+            doc_id.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2024) + doc_id).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
     rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
     return base.select("*", rep).select(
         F.concat(F.col("url"), F.lit("/r/"), F.col("rep").cast("string")).alias("url"),
