@@ -18,7 +18,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from webextract.operators import dedup, events, multimodal, similarity, textstats
+from webextract.operators import (
+    dedup,
+    events,
+    metrics,
+    multimodal,
+    similarity,
+    textstats,
+)
 from webextract.operators.extract import (
     extract_pages,
     extract_pages_with_lineage,
@@ -202,6 +209,35 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata(media).select("media_id", "n_bytes", "format")
 
 
+def q_media_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page container fan-out (PDF→pages explode analog): page
+    count parsed from the binary header JVM-side."""
+    media = multimodal.synth_paged_media(_docs(spark, sf_dir))
+    return multimodal.explode_pages(media)
+
+
+def q_extract_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus metrics of extraction vs the SQL-stated golden (the
+    pred↔gt eval join + levenshtein, metrics.py). Gate: pass_rate=1."""
+    from webextract.sources.pages import expected_extraction
+
+    ext = q_extract(spark, sf_dir)
+    return metrics.extraction_eval(ext, expected_extraction(spark, sf_dir))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.pricing_summary(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def q_orders_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    return metrics.orders_by_region(
+        rd("orders"), rd("customer"), rd("nation"), rd("region")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extract(spark, "/root/testdata/sf0.001")
@@ -230,6 +266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "media_decode": q_media_decode,
         "media_meta": q_media_meta,
+        "media_pages": q_media_pages,
+        "extract_eval": q_extract_eval,
+        "pricing_summary": q_pricing_summary,
+        "orders_by_region": q_orders_by_region,
     }
 
 
@@ -440,6 +480,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    'unknown' AS format
             FROM documents
+        """,
+        "media_pages": """
+            SELECT doc_id AS media_id,
+                   CAST(doc_id % 5 + 1 AS INTEGER) AS total_pages,
+                   CAST(unnest(range(1, CAST(doc_id % 5 + 1 AS INTEGER) + 1)) AS INTEGER) AS page_no
+            FROM documents
+        """,
+        "extract_eval": f"""
+            WITH e AS (SELECT {_EXTRACTED} AS text FROM documents)
+            SELECT COUNT(*) AS n_urls, COUNT(*) AS n_exact,
+                   CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate,
+                   CAST(0 AS DOUBLE) AS mean_edit,
+                   0 AS max_edit
+            FROM e
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+                   COUNT(*) AS count_order,
+                   MAX(l_shipdate) AS latest_ship
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_region": """
+            SELECT r_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+                   COUNT(DISTINCT o_custkey) AS n_customers
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         # extract_blocks, lineage, ann_lsh: intentionally no oracle
         # (UDF-internal tokenization / wall-clock / float sign buckets).

@@ -67,6 +67,8 @@ def main() -> None:
         "events_hourly",
         "events_sessions",
         "media_decode",
+        "pricing_summary",
+        "orders_by_region",
     ]
     per_query: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in headline:

@@ -219,6 +219,19 @@ def test_magic_sniffing(spark):
     assert fmts == {1: "png", 2: "jpeg", 3: "unknown"}
 
 
+def test_explode_pages_fanout(spark, docs):
+    media = multimodal.synth_paged_media(docs)
+    pages = multimodal.explode_pages(media)
+    # Σ (doc_id % 5 + 1) rows; page_no within [1, total_pages]
+    expected = docs.select(
+        F.sum(F.col("doc_id") % 5 + 1).alias("s")
+    ).first()["s"]
+    assert pages.count() == expected
+    assert pages.filter(
+        (F.col("page_no") < 1) | (F.col("page_no") > F.col("total_pages"))
+    ).count() == 0
+
+
 def test_resize_is_stubbed(spark, docs):
     with pytest.raises(NotImplementedError):
         multimodal.resize_media(multimodal.synth_media(docs), 32, 32)

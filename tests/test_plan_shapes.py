@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the plan shapes that make the
+operators survive 100 TB (broadcasts, equi-joins, pruned scans,
+partial aggregation) must not silently regress.
+
+The analog of the reference's hand-rolled physical tactics (SURVEY.md
+§4) — except ours are Catalyst's, so we assert instead of implement.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from webextract.operators.extract import extract_pages
+from webextract.sources.pages import pages_from_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sim_topk_broadcasts_queries_no_cartesian(spark):
+    plan = plan_of(entrymod.q_sim_topk(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_lsh_is_equi_join(spark):
+    plan = plan_of(entrymod.q_ann_lsh(spark, SF))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_pairs_is_equi_join(spark):
+    plan = plan_of(entrymod.q_dedup_lsh_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    plan = plan_of(entrymod.q_dedup_exact(spark, SF))
+    assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_extract_scan_prunes_columns(spark):
+    plan = plan_of(extract_pages(pages_from_documents(spark, SF)))
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "text" in read_schema           # needed for html synthesis
+    assert "lang" not in read_schema       # pruned
+    assert "n_chars" not in read_schema    # pruned
+
+
+def test_textstats_scan_prunes_columns(spark):
+    plan = plan_of(entrymod.q_token_stats(spark, SF))
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_whole_stage_codegen_in_jvm_paths(spark):
+    # text stats never leave the JVM: one codegen stage, no Python node
+    plan = plan_of(entrymod.q_token_stats(spark, SF))
+    assert "*(1)" in plan  # whole-stage-codegen stage marker
+    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan

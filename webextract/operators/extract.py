@@ -123,21 +123,47 @@ _SPAN_PA = pa.list_(
 )
 
 
+def _spans_array(results: list[dict]) -> pa.ListArray:
+    """spans as a ListArray built from flattened primitive columns —
+    one pass, no per-span dict objects (the hot-path shape: a 2M-page
+    batch job builds millions of spans)."""
+    offsets = [0]
+    b_ids: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    tags: list[str] = []
+    scores: list[float] = []
+    n = 0
+    for r in results:
+        for (b, s, e, t, sc) in r["spans"]:
+            b_ids.append(b)
+            starts.append(s)
+            ends.append(e)
+            tags.append(t)
+            scores.append(sc)
+        n += len(r["spans"])
+        offsets.append(n)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(b_ids, type=pa.int32()),
+            pa.array(starts, type=pa.int32()),
+            pa.array(ends, type=pa.int32()),
+            pa.array(tags, type=pa.string()),
+            pa.array(scores, type=pa.float64()),
+        ],
+        ["block_id", "start", "end", "tag", "score"],
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+
+
 def _extract_record_batch(rb: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBatch:
     """One Arrow batch of (url, html) → extracted batch, all-pyarrow."""
     results = [extract_page(h, cfg) for h in rb.column(1).to_pylist()]
-    spans = [
-        [
-            {"block_id": b, "start": s, "end": e, "tag": t, "score": sc}
-            for (b, s, e, t, sc) in r["spans"]
-        ]
-        for r in results
-    ]
     return pa.RecordBatch.from_arrays(
         [
             rb.column(0),
             pa.array([r["text"] for r in results], type=pa.string()),
-            pa.array(spans, type=_SPAN_PA),
+            _spans_array(results),
             pa.array([r["mean_score"] for r in results], type=pa.float64()),
             pa.array([r["blocks_total"] for r in results], type=pa.int32()),
             pa.array([r["blocks_kept"] for r in results], type=pa.int32()),

@@ -117,6 +117,47 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
+def explode_pages(media: DataFrame) -> DataFrame:
+    """Multi-page payload → one row per page (the PDF-per-page explode,
+    ``check_and_read`` at ppocr/utils/utility.py:110-120 where a PDF
+    renders to a list of page images).
+
+    The page count is read from the payload header JVM-side
+    (``substring``+``hex``+``conv`` — no Python worker), then
+    ``explode(sequence(...))`` fans out. At scale this is the pattern
+    for any container format: cheap metadata peek → fan-out → per-page
+    decode in the Arrow stage.
+    """
+    n_pages = F.conv(F.hex(F.substring(F.col("payload"), 5, 4)), 16, 10).cast(
+        "int"
+    )
+    return (
+        media.filter(F.substring(F.col("payload"), 1, 4) == F.lit(b"PDF!"))
+        .withColumn("total_pages", n_pages)
+        .select(
+            "media_id",
+            "total_pages",
+            F.explode(F.sequence(F.lit(1), F.col("total_pages"))).alias("page_no"),
+        )
+    )
+
+
+def synth_paged_media(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-page container payloads:
+    ``b"PDF!" + n_pages(4, BE) + text`` with n_pages = doc_id % 5 + 1."""
+    n = (F.col("doc_id") % 5 + 1).cast("int")
+    payload = F.concat(
+        F.lit(b"PDF!"),
+        F.unhex(F.lpad(F.hex(n), 8, "0")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("application/x-fakepdf").alias("mime"),
+    )
+
+
 def synth_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media table derived from documents: payload =
     fake-image header + text bytes. Pure built-ins (concat over binary)."""
