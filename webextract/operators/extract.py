@@ -175,7 +175,9 @@ def _extract_record_batch(rb: pa.RecordBatch, cfg: ExtractConfig) -> pa.RecordBa
 
 
 def extract_pages(
-    pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+    pages: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    sort_by_size: bool = False,
 ) -> DataFrame:
     """pages(url, html, ...) → extracted(url, text, spans, ...).
 
@@ -183,14 +185,34 @@ def extract_pages(
     prunes the scan to (url, html). Runs as ``mapInArrow`` — the UDF
     consumes/produces Arrow record batches directly (no pandas
     conversion on either side of the worker boundary).
+
+    ``sort_by_size=True`` sorts within partitions by html length so
+    Arrow batches are cost-homogeneous — the analog of the reference's
+    aspect-ratio sort before recognition batching
+    (tools/infer/predict_rec.py:385-398): no shuffle, cheap, and evens
+    out batch latency when page sizes are heavy-tailed.
     """
+    src = pages.select("url", "html")
+    if sort_by_size:
+        src = src.sortWithinPartitions(F.length("html"))
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             if rb.num_rows:
                 yield _extract_record_batch(rb, cfg)
 
-    return pages.select("url", "html").mapInArrow(run, EXTRACTED_SCHEMA)
+    return src.mapInArrow(run, EXTRACTED_SCHEMA)
+
+
+def to_json_lines(extracted: DataFrame) -> DataFrame:
+    """(url, json) result lines — the reference's results-sink format
+    ``name \\t json(boxes, transcriptions)`` (predict_system.py:204-215,
+    250-254) as a DataFrame: write with ``.write.text`` or csv after
+    concat. JVM-side ``to_json`` over the nested struct."""
+    payload = F.to_json(
+        F.struct("text", "spans", "mean_score", "blocks_kept")
+    )
+    return extracted.select("url", payload.alias("result_json"))
 
 
 def extract_pages_with_lineage(
