@@ -1,7 +1,7 @@
 """Spark extraction operator: pages DataFrame → extracted DataFrame.
 
 The Spark trace of ``PaddleOCR().ocr(img)`` (SURVEY.md §3.1): scan →
-ONE ``mapInPandas`` stage running the fused tokenize→score→merge per
+ONE ``mapInArrow`` stage running the fused tokenize→score→merge per
 Arrow batch → write. Design points (SURVEY.md §4):
 
  * one JVM↔Python crossing per Arrow batch (vs the reference's two
@@ -24,7 +24,6 @@ from __future__ import annotations
 import time
 from collections.abc import Iterator
 
-import pandas as pd
 import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
@@ -79,32 +78,6 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("extract_ms", T.DoubleType(), True),
     ]
 )
-
-
-def _span_dicts(spans: list[tuple]) -> list[dict]:
-    return [
-        {"block_id": b, "start": s, "end": e, "tag": t, "score": sc}
-        for (b, s, e, t, sc) in spans
-    ]
-
-
-def _extract_frame(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
-    """One Arrow batch of (url, html) → extracted frame (vectorized loop
-    over the batch inside the Python worker — the per-row DOM parse is
-    irreducible, but it is amortized over the Arrow batch)."""
-    results = [extract_page(h, cfg) for h in pdf["html"]]
-    return pd.DataFrame(
-        {
-            "url": pdf["url"].to_numpy(),
-            "text": [r["text"] for r in results],
-            "spans": [_span_dicts(r["spans"]) for r in results],
-            "mean_score": [r["mean_score"] for r in results],
-            "blocks_total": [r["blocks_total"] for r in results],
-            "blocks_kept": [r["blocks_kept"] for r in results],
-            "bytes_in": [r["bytes_in"] for r in results],
-            "truncated": [r["truncated"] for r in results],
-        }
-    )
 
 
 # Arrow output schema mirroring EXTRACTED_SCHEMA (built once; the
@@ -221,9 +194,28 @@ def extract_pages_with_lineage(
     """Same, plus one lineage row per non-empty task partition, emitted
     inline with ``rec_type='lineage'``. Split afterwards with
     :func:`split_lineage` (persist the unified frame first if both
-    halves are consumed)."""
+    halves are consumed). mapInArrow like the pure path."""
+    page_pa = {
+        "url": pa.string(),
+        "text": pa.string(),
+        "spans": _SPAN_PA,
+        "mean_score": pa.float64(),
+        "blocks_total": pa.int32(),
+        "blocks_kept": pa.int32(),
+        "bytes_in": pa.int64(),
+        "truncated": pa.bool_(),
+    }
+    lineage_pa = {
+        "partition_id": pa.int32(),
+        "urls_in": pa.int64(),
+        "lineage_bytes_in": pa.int64(),
+        "lineage_blocks_kept": pa.int64(),
+        "extract_ms": pa.float64(),
+    }
+    lineage_names = list(lineage_pa)
+    names = [f.name for f in UNIFIED_SCHEMA.fields]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         t0 = time.perf_counter()
@@ -231,43 +223,36 @@ def extract_pages_with_lineage(
         bytes_in = 0
         blocks_kept = 0
         any_rows = False
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
             any_rows = True
-            out = _extract_frame(pdf, cfg)
-            urls_in += len(out)
-            bytes_in += int(out["bytes_in"].sum())
-            blocks_kept += int(out["blocks_kept"].sum())
-            out.insert(0, "rec_type", "page")
-            out["partition_id"] = pd.array([None] * len(out), dtype="Int32")
-            out["urls_in"] = pd.array([None] * len(out), dtype="Int64")
-            out["lineage_bytes_in"] = pd.array([None] * len(out), dtype="Int64")
-            out["lineage_blocks_kept"] = pd.array([None] * len(out), dtype="Int64")
-            out["extract_ms"] = pd.array([None] * len(out), dtype="float64")
-            yield out
+            out = _extract_record_batch(rb, cfg)
+            n = out.num_rows
+            urls_in += n
+            bytes_in += int(pa.compute.sum(out.column(6)).as_py() or 0)
+            blocks_kept += int(pa.compute.sum(out.column(5)).as_py() or 0)
+            arrays = [pa.array(["page"] * n, type=pa.string())] + list(
+                out.columns
+            ) + [pa.nulls(n, type=lineage_pa[c]) for c in lineage_names]
+            yield pa.RecordBatch.from_arrays(arrays, names)
         if any_rows:
             ms = (time.perf_counter() - t0) * 1000.0
-            yield pd.DataFrame(
-                {
-                    "rec_type": ["lineage"],
-                    "url": [None],
-                    "text": [None],
-                    "spans": [None],
-                    "mean_score": [None],
-                    "blocks_total": pd.array([None], dtype="Int32"),
-                    "blocks_kept": pd.array([None], dtype="Int32"),
-                    "bytes_in": pd.array([None], dtype="Int64"),
-                    "truncated": [None],
-                    "partition_id": pd.array([pid], dtype="Int32"),
-                    "urls_in": pd.array([urls_in], dtype="Int64"),
-                    "lineage_bytes_in": pd.array([bytes_in], dtype="Int64"),
-                    "lineage_blocks_kept": pd.array([blocks_kept], dtype="Int64"),
-                    "extract_ms": [ms],
-                }
+            lin_vals = {
+                "partition_id": pid,
+                "urls_in": urls_in,
+                "lineage_bytes_in": bytes_in,
+                "lineage_blocks_kept": blocks_kept,
+                "extract_ms": ms,
+            }
+            arrays = (
+                [pa.array(["lineage"], type=pa.string())]
+                + [pa.nulls(1, type=t) for t in page_pa.values()]
+                + [pa.array([lin_vals[c]], type=lineage_pa[c]) for c in lineage_names]
             )
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return pages.select("url", "html").mapInPandas(run, UNIFIED_SCHEMA)
+    return pages.select("url", "html").mapInArrow(run, UNIFIED_SCHEMA)
 
 
 def split_lineage(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
