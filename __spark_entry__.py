@@ -216,6 +216,19 @@ def q_media_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.explode_pages(media)
 
 
+def q_union_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing (§2.7): two sources unioned with deterministic
+    hash-sampling ratios (the multi-label-file mix,
+    simple_dataset.py:56-68, made reproducible at scale)."""
+    from webextract.sources.mixing import union_sampled
+
+    docs = _docs(spark, sf_dir)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    mixed = union_sampled([(evens, 1.0), (odds, 0.5)], key="doc_id")
+    return mixed.select("doc_id", "lang", "source")
+
+
 def q_extract_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus metrics of extraction vs the SQL-stated golden (the
     pred↔gt eval join + levenshtein, metrics.py). Gate: pass_rate=1."""
@@ -267,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_meta": q_media_meta,
         "media_pages": q_media_pages,
+        "union_sample": q_union_sample,
         "extract_eval": q_extract_eval,
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
@@ -480,6 +494,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    'unknown' AS format
             FROM documents
+        """,
+        "union_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 2 = 0
+              AND CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  < {int(1.0 * (1 << 32))}
+            UNION ALL
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 2 = 1
+              AND CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  < {int(0.5 * (1 << 32))}
         """,
         "media_pages": """
             SELECT doc_id AS media_id,
