@@ -8,6 +8,20 @@ parallel lists) so the scorer can run vectorized numpy over it —
 mirroring how the reference batches crops into one tensor
 (tools/infer/predict_rec.py:480) but end-to-end.
 
+Two interchangeable event front-ends drive ONE block state machine
+(``_BlockSink``):
+
+ * the REFERENCE front-end — stdlib ``html.parser`` (tolerant,
+   battle-tested, defines the frozen semantics);
+ * the FAST front-end — ``webextract.functions.fastscan``, a
+   compiled-regex scanner ~2-4× faster that bails back to the
+   reference parser for any document containing a construct whose
+   html.parser semantics it does not replicate bit-for-bit.
+
+``tokenize_blocks(text)`` uses fast-with-fallback by default;
+``engine="reference"`` forces the stdlib path (differential tests
+compare the two on fixtures + fuzz, tests/test_fastscan.py).
+
 Frozen canonicalization rules (byte-identity depends on them):
  * entities decoded (``convert_charrefs=True``): ``&amp;`` → ``&``,
    numeric refs → the codepoint;
@@ -31,14 +45,10 @@ from html.parser import HTMLParser
 from typing import Any
 
 from webextract.config import BLOCK_TAGS, BOILER_TAGS, SKIP_TAGS
+from webextract.functions import fastscan
 
 # self-closing whitespace-ish tags: contribute a space, never open blocks
 _SPACING_VOID = {"br", "wbr", "hr", "img"}
-
-_EMPTY_COLUMNS = (
-    "block_id", "tag", "depth", "text", "start", "end",
-    "text_len", "link_text_len", "n_links", "is_boiler", "is_pre",
-)
 
 
 def _canon(fragments: list[str]) -> str:
@@ -55,9 +65,12 @@ def _canon_pre(fragments: list[str]) -> str:
     return s
 
 
-class _BlockParser(HTMLParser):
+class _BlockSink:
+    """The block state machine. Consumes the html.parser-equivalent
+    event stream (starttag/endtag/startendtag/data) from either
+    front-end and accumulates the columnar block table."""
+
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.stack: list[str] = []
         self.skip_depth = 0          # >0 ⇒ inside a SKIP_TAGS subtree
         self.boiler_depth = 0        # >0 ⇒ inside a BOILER_TAGS subtree
@@ -104,8 +117,8 @@ class _BlockParser(HTMLParser):
         self.block_boiler = self.boiler_depth > 0
         self.block_was_pre = self.pre_depth > 0
 
-    # -- parser hooks ----------------------------------------------------
-    def handle_starttag(self, tag: str, attrs: Any) -> None:
+    # -- event stream ----------------------------------------------------
+    def starttag(self, tag: str) -> None:
         if tag in _SPACING_VOID:
             if not self.skip_depth:
                 self.frags.append(" ")
@@ -125,7 +138,7 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS and not self.skip_depth:
             self._begin_block(tag)
 
-    def handle_endtag(self, tag: str) -> None:
+    def endtag(self, tag: str) -> None:
         if tag in _SPACING_VOID:
             return
         # tolerant unwinding for malformed html: pop to nearest match
@@ -155,55 +168,94 @@ class _BlockParser(HTMLParser):
             self.block_boiler = self.boiler_depth > 0
             self.block_was_pre = self.pre_depth > 0
 
-    def handle_startendtag(self, tag: str, attrs: Any) -> None:
-        self.handle_starttag(tag, attrs)
+    def startendtag(self, tag: str) -> None:
+        self.starttag(tag)
         if tag not in _SPACING_VOID and tag in self.stack:
-            self.handle_endtag(tag)
+            self.endtag(tag)
+
+    def data(self, d: str) -> None:
+        if self.skip_depth or not d:
+            return
+        self.frags.append(d)
+        if self.link_depth:
+            self.link_frags.append(d)
+
+
+class _BlockParser(HTMLParser):
+    """Reference front-end: stdlib html.parser delegating to the sink."""
+
+    def __init__(self, sink: _BlockSink) -> None:
+        super().__init__(convert_charrefs=True)
+        self.sink = sink
+
+    def handle_starttag(self, tag: str, attrs: Any) -> None:
+        self.sink.starttag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        self.sink.endtag(tag)
+
+    def handle_startendtag(self, tag: str, attrs: Any) -> None:
+        self.sink.startendtag(tag)
 
     def handle_data(self, data: str) -> None:
-        if self.skip_depth or not data:
-            return
-        self.frags.append(data)
-        if self.link_depth:
-            self.link_frags.append(data)
+        self.sink.data(data)
 
 
-def tokenize_blocks(html_text: str) -> dict[str, list]:
-    """Canonical html text → columnar block table.
-
-    Returns a dict of parallel lists with keys ``block_id, tag, depth,
-    text, start, end, text_len, link_text_len, n_links, is_boiler,
-    is_pre``. ``start/end`` index into ``doc_text`` (block texts joined
-    by "\\n"), returned under key ``doc_text``.
-    """
-    p = _BlockParser()
+def _run_reference(html_text: str) -> _BlockSink:
+    sink = _BlockSink()
+    p = _BlockParser(sink)
     try:
         p.feed(html_text)
         p.close()
     except Exception:
         # malformed-input tolerance: whatever flushed so far stands
         pass
-    p._flush()
+    return sink
+
+
+def tokenize_blocks(html_text: str, engine: str = "auto") -> dict[str, list]:
+    """Canonical html text → columnar block table.
+
+    Returns a dict of parallel lists with keys ``block_id, tag, depth,
+    text, start, end, text_len, link_text_len, n_links, is_boiler,
+    is_pre``. ``start/end`` index into ``doc_text`` (block texts joined
+    by "\\n"), returned under key ``doc_text``.
+
+    ``engine``: "auto" (fast scanner, reference fallback) or
+    "reference" (stdlib html.parser only — the frozen semantics).
+    """
+    sink: _BlockSink | None = None
+    if engine == "auto":
+        s = _BlockSink()
+        try:
+            ok = fastscan.scan(html_text, s)
+        except Exception:
+            ok = False
+        if ok:
+            sink = s
+    if sink is None:
+        sink = _run_reference(html_text)
+    sink._flush()
 
     starts: list[int] = []
     ends: list[int] = []
     off = 0
-    for t in p.texts:
+    for t in sink.texts:
         starts.append(off)
         off += len(t)
         ends.append(off)
         off += 1  # the "\n" joiner
     return {
-        "block_id": list(range(len(p.texts))),
-        "tag": p.tags,
-        "depth": p.depths,
-        "text": p.texts,
+        "block_id": list(range(len(sink.texts))),
+        "tag": sink.tags,
+        "depth": sink.depths,
+        "text": sink.texts,
         "start": starts,
         "end": ends,
-        "text_len": [len(t) for t in p.texts],
-        "link_text_len": p.link_lens,
-        "n_links": p.n_links,
-        "is_boiler": p.boilers,
-        "is_pre": p.pres,
-        "doc_text": "\n".join(p.texts),
+        "text_len": [len(t) for t in sink.texts],
+        "link_text_len": sink.link_lens,
+        "n_links": sink.n_links,
+        "is_boiler": sink.boilers,
+        "is_pre": sink.pres,
+        "doc_text": "\n".join(sink.texts),
     }
