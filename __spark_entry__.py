@@ -90,11 +90,13 @@ def q_topk_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hosts.groupBy("host").agg(
         F.count("*").alias("n_pages"), F.sum("chars").alias("total_chars")
     )
+    # distributed top-k (TakeOrderedAndProject), NOT a global window —
+    # an unpartitioned row_number drags every row to one partition;
+    # the rank window then runs over only the k survivors.
+    top = agg.orderBy(F.col("n_pages").desc(), F.col("host").asc()).limit(10)
     w = Window.orderBy(F.col("n_pages").desc(), F.col("host").asc())
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "host", "n_pages", "total_chars")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "host", "n_pages", "total_chars"
     )
 
 
@@ -140,13 +142,12 @@ def q_dedup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.0)
-    w = Window.orderBy(
-        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .select("rank", "doc_a", "doc_b", "jaccard")
+    order = [F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()]
+    # distributed top-k first; the rank window sees only 100 rows
+    top = pairs.orderBy(*order).limit(100)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_a", "doc_b", "jaccard"
     )
 
 

@@ -58,6 +58,14 @@ def test_textstats_scan_prunes_columns(spark):
     assert "source" not in read_schema and "lang" not in read_schema
 
 
+def test_global_topk_is_distributed(spark):
+    # top-k must compile to TakeOrderedAndProject, not drag the full
+    # dataset through a single-partition window
+    for q in ("q_topk_hosts", "q_events_top_users", "q_dedup_jaccard_top"):
+        plan = plan_of(getattr(entrymod, q)(spark, SF))
+        assert "TakeOrderedAndProject" in plan, q
+
+
 def test_whole_stage_codegen_in_jvm_paths(spark):
     # text stats never leave the JVM: one codegen stage, no Python node
     plan = plan_of(entrymod.q_token_stats(spark, SF))

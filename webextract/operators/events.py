@@ -79,9 +79,11 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
         F.count("*").alias("n_events"),
     )
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return (
-        totals.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "user_id", "total_value", "n_events")
+    # distributed top-k (TakeOrderedAndProject) — never a global
+    # unpartitioned window over the full user set
+    order = [F.col("total_value").desc(), F.col("user_id").asc()]
+    top = totals.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "user_id", "total_value", "n_events"
     )
