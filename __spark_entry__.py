@@ -217,6 +217,18 @@ def q_media_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.explode_pages(media)
 
 
+def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline: synthesize pages → extract
+    main content → fingerprint the EXTRACTED text → exact-dedup survey.
+    The composition query — every stage is the production operator."""
+    ext = q_extract(spark, sf_dir)
+    canon = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    fp = ext.select("url", F.md5(canon).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min("url").alias("keeper"), F.count("*").alias("n_copies")
+    )
+
+
 def q_union_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset mixing (§2.7): two sources unioned with deterministic
     hash-sampling ratios (the multi-label-file mix,
@@ -282,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_pages": q_media_pages,
         "union_sample": q_union_sample,
+        "pipeline_dedup": q_pipeline_dedup,
         "extract_eval": q_extract_eval,
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
@@ -495,6 +508,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    'unknown' AS format
             FROM documents
+        """,
+        "pipeline_dedup": f"""
+            WITH e AS (SELECT {_URL} AS url, {_EXTRACTED} AS text FROM documents),
+            f AS (SELECT url,
+                         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+                  FROM e)
+            SELECT fp, MIN(url) AS keeper, COUNT(*) AS n_copies
+            FROM f GROUP BY fp
         """,
         "union_sample": f"""
             SELECT doc_id, lang, source FROM documents

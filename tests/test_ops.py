@@ -72,6 +72,28 @@ def test_ngram_jaccard_exact_value(spark):
     assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
 
 
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    # 'x' appears in all 3 docs (df=3 > max_df=2) → its contribution is
+    # dropped from the intersection join, unions stay full-size
+    df = spark.createDataFrame(
+        [(1, "x a"), (2, "x a"), (3, "x b")], ["doc_id", "text"]
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, n=1, threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, n=1, threshold=0.0, max_df=2
+        ).collect()
+    }
+    assert full[(1, 2)] == 1.0
+    # only 'a' survives the index: inter=1, union stays 2+2-1=3
+    assert abs(capped[(1, 2)] - 1 / 3) < 1e-12
+    assert (1, 3) in full and (1, 3) not in capped  # shared only 'x'
+
+
 def test_simhash_identical_share_and_signature_range(spark, docs):
     sig = dedup.simhash_signatures(docs)
     mm = sig.agg(F.min("simhash"), F.max("simhash")).first()

@@ -122,7 +122,7 @@ def lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 1, threshold: float = 0.8
+    docs: DataFrame, n: int = 1, threshold: float = 0.8, max_df: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -131,11 +131,29 @@ def ngram_jaccard_pairs(
     count intersections, then |A∪B| = |A|+|B|−|A∩B|. This is the
     set-similarity analog of ``compute_iou`` (ppstructure/table/
     matcher.py:19-38) where the boxes are shingle sets.
+
+    ``max_df`` is the 100 TB knob: a shingle occurring in more than
+    ``max_df`` documents contributes ~df² join rows while carrying
+    almost no similarity signal (stopword shingles); dropping them
+    bounds the worst bucket of the self-join. It slightly LOWERS
+    computed jaccard for affected pairs (union still counts the full
+    sets), so it is off by default and off in the oracle-matched
+    driver query.
     """
     sh = shingles(docs, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh_join = sh
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = sh_join.alias("a")
+    b = sh_join.alias("b")
     inter = (
         a.join(
             b,
