@@ -23,3 +23,12 @@ the reference repo's observable behavior).
 __version__ = "0.1.0"
 
 from webextract.config import ExtractConfig  # noqa: F401
+from webextract.functions.extract import extract_page  # noqa: F401
+from webextract.operators.extract import (  # noqa: F401
+    extract_pages,
+    extract_pages_with_lineage,
+    salted_repartition,
+    split_lineage,
+    to_json_lines,
+)
+from webextract.session import get_spark  # noqa: F401
