@@ -170,6 +170,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse lists, n_probe nearest lists searched).
+    Rows-only: the trained quantizer is not SQL-expressible; recall vs
+    brute force is asserted in tests/test_ops.py."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), EMB_DIM, 5, 10).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -283,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,

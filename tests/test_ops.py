@@ -133,6 +133,20 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     assert all(r["rank"] <= 5 for r in ann)
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, emb):
+    q = similarity.make_queries(emb, 10)
+    brute = similarity.cosine_topk(emb, q, 5).collect()
+    ivf = similarity.ivf_topk(emb, 64, 5, 10, n_lists=8, n_probe=3).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    # probing 3 of 8 lists must recover a meaningful share of true
+    # neighbors (near vectors share coarse cells)
+    assert len(bset & iset) / len(bset) >= 0.5
+    # determinism: same seed → same result
+    ivf2 = similarity.ivf_topk(emb, 64, 5, 10, n_lists=8, n_probe=3).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+
+
 def test_embedding_near_dup_pairs_planted(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

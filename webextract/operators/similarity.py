@@ -168,6 +168,87 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame, dim: int, n_lists: int = 16, seed: int = PLANE_SEED
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (Spark ML, JVM-side)
+    over the corpus; every vector gets its nearest-centroid ``list_id``.
+
+    The 100 TB recipe: train on a small sample (k-means cost is in the
+    assignment passes, and 16-4096 centroids train fine on ~1M sampled
+    rows), broadcast the centroids, and write the corpus bucketed by
+    ``list_id`` so probes touch only their lists' files. Returns the
+    assigned frame and the centroids (for probe selection).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = emb.withColumn("features", array_to_vector("embedding"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features")
+    model = km.fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "list_id")
+        .drop("features")
+    )
+    cents = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_queries: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: each query searches only its ``n_probe`` nearest
+    centroid lists. The probe set is computed driver-side over the
+    (tiny, broadcast) centroid table; the candidate join is an
+    equi-join on ``list_id``. Returns (query_id, rank, neighbor_id, sim)."""
+    import numpy as np
+
+    assigned, cents = ivf_assign(emb, dim, n_lists)
+    assigned = with_norm(assigned)
+    c = np.asarray(cents)
+    qrows = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding", "norm")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((c - v) ** 2).sum(axis=1)
+        for lid in np.argsort(d)[:n_probe]:
+            probe_rows.append(
+                (int(r["vec_id"]), r["embedding"], float(r["norm"]), int(lid))
+            )
+    spark = emb.sparkSession
+    q = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, ["query_id", "q_embedding", "q_norm", "probe_list"]
+        )
+    )
+    sim = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        F.col("norm") * F.col("q_norm")
+    )
+    cand = (
+        assigned.join(q, F.col("list_id") == F.col("probe_list"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, dim: int, threshold: float = 0.95
 ) -> DataFrame:
