@@ -32,7 +32,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     import __spark_entry__ as entrymod
-    from webextract.operators.extract import extract_pages, salted_repartition
+    from webextract.operators.extract import extract_pages
     from webextract.session import get_spark
     from webextract.sources.pages import pages_replicated
 

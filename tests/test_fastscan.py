@@ -111,6 +111,13 @@ def test_fuzz_arbitrary_text(soup: str) -> None:
         "<pre>\n a \n</pre>",
         "<p>x<br/>y</p>",
         "<p>x</p><3</p>",
+        # bare quoted runs in tag bodies: html.parser only honors
+        # quotes in values after '=', so the first '>' ends the tag
+        '<a "x>y">hello</a>',
+        "<a 'x>y'>hello</a>",
+        '<a b "c>d" e>t</a>',
+        '<div class"x>y">in</div>',
+        '<a href = "x>y">q</a>',
     ],
 )
 def test_known_subtleties(case: str) -> None:

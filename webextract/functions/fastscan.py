@@ -141,14 +141,22 @@ def _tag_end(s: str, name_start: int, endpos: int) -> str:
     html.parser's OWN regexes: walk the attrs exactly as it does and
     strip what remains before ``endpos`` (which is just past '>').
     Returns '>' (starttag), '/>' (startendtag) or the raw remainder
-    (→ html.parser would emit the tag as data — caller bails).
+    (→ html.parser would classify the tag differently — caller bails).
 
-    Fast path: a body that ends cleanly with the '>' (no '/') and
-    contains no '=' ambiguity still needs the walk only when a '/'
-    precedes the '>'."""
+    The walk runs whenever the body contains a QUOTE or ends with '/':
+    _TAG's quote-aware body regex accepts bare quoted runs
+    (``<a "x>y">``) that html.parser — which only honors quotes in
+    values after '=' — would terminate at the first '>'; only when the
+    attrfind walk lands exactly on our matched '>' do the two parsers
+    agree on the tag's extent. A quote-free body that does not end in
+    '/' cannot stall the walk (names stop only at [\\s/=>], bare values
+    only at [\\s>], so every attr boundary satisfies the lookbehind)
+    and is always a plain starttag."""
     gt = endpos - 1          # position of '>'
     if s[gt - 1] != "/":
-        return ">"           # no trailing '/', always a plain starttag
+        body = s[name_start:gt]
+        if '"' not in body and "'" not in body:
+            return ">"
     nm = _TAGFIND_TOL.match(s, name_start)
     k = nm.end()
     while k < gt:

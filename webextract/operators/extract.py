@@ -25,6 +25,7 @@ import time
 from collections.abc import Iterator
 
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -230,8 +231,8 @@ def extract_pages_with_lineage(
             out = _extract_record_batch(rb, cfg)
             n = out.num_rows
             urls_in += n
-            bytes_in += int(pa.compute.sum(out.column(6)).as_py() or 0)
-            blocks_kept += int(pa.compute.sum(out.column(5)).as_py() or 0)
+            bytes_in += int(pc.sum(out.column(6)).as_py() or 0)
+            blocks_kept += int(pc.sum(out.column(5)).as_py() or 0)
             arrays = [pa.array(["page"] * n, type=pa.string())] + list(
                 out.columns
             ) + [pa.nulls(n, type=lineage_pa[c]) for c in lineage_names]

@@ -39,6 +39,21 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail for every search path: per-query window
+    ordered by sim desc with neighbor_id tie-break (load-bearing for
+    oracle portability — change HERE, nowhere else), top-k, sim
+    rounded to 6 decimals."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
     """Attach the L2 norm (computed once, reused across every query)."""
     c = F.col(col)
@@ -69,14 +84,7 @@ def cosine_topk(
             sim.alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def make_queries(emb: DataFrame, n: int = 10) ->  DataFrame:
@@ -158,14 +166,7 @@ def ann_lsh_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return _rank_topk(cand, k)
 
 
 def ivf_assign(
@@ -239,14 +240,7 @@ def ivf_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return _rank_topk(cand, k)
 
 
 def embedding_near_dup_pairs(

@@ -136,9 +136,15 @@ def run_extraction(
             n_urls = int(
                 lineage.agg(F.sum("urls_in")).first()[0] or 0
             )
-            lineage.withColumn("wave_start_bucket", F.lit(min(wave))).write.mode(
-                "append"
-            ).parquet(out_lineage)
+            # partitioned by wave + dynamic overwrite: a crash between
+            # this write and the manifest commit reruns the wave and
+            # OVERWRITES its lineage partition instead of appending a
+            # duplicate set (same idempotency rule as the pages side)
+            lineage.withColumn(
+                "wave_start_bucket", F.lit(min(wave))
+            ).write.mode("overwrite").partitionBy("wave_start_bucket").parquet(
+                out_lineage
+            )
         finally:
             uni.unpersist()
         _commit_wave(

@@ -20,12 +20,7 @@ def hash_sample(df: DataFrame, key: str, ratio: float, salt: str = "") -> DataFr
     """Deterministic ratio-sample: keep rows whose md5(salt || key)
     first-8-hex integer falls under ratio · 2^32. Engine-portable
     (md5 + hex math only), stable under repartition/retry."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return df.filter(h < int(ratio * (1 << 32)))
+    return df.filter(sample_expr(key, ratio, salt))
 
 
 def union_sampled(
