@@ -381,7 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_lang_stats": f"""
             WITH e AS (SELECT lang, {_EXTRACTED} AS text FROM documents)
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(length(text)) AS total_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                    MIN(length(text)) AS min_chars,
                    MAX(length(text)) AS max_chars
             FROM e GROUP BY lang
@@ -391,7 +391,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'host' || CAST({_HOST} AS VARCHAR) || '.example' AS host,
                      length({_EXTRACTED}) AS chars
               FROM documents),
-            a AS (SELECT host, COUNT(*) AS n_pages, SUM(chars) AS total_chars
+            a AS (SELECT host, COUNT(*) AS n_pages,
+                         CAST(SUM(chars) AS BIGINT) AS total_chars
                   FROM e GROUP BY host),
             r AS (SELECT *, row_number() OVER (ORDER BY n_pages DESC, host ASC) AS rank
                   FROM a)

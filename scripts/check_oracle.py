@@ -66,6 +66,20 @@ def main() -> int:
             failures.append((name, f"rows {len(a)} vs {len(b)}"))
             print(f"{name:>22}: FAIL rows {len(a)} vs {len(b)}")
             continue
+        # the driver hashes raw values, so an int64-vs-float64 column is a
+        # hash mismatch even when values are equal — compare dtype KINDS
+        kind_bad = [
+            c for c in a.columns
+            if a[c].dtype.kind != b[c].dtype.kind
+            and {a[c].dtype.kind, b[c].dtype.kind} <= {"i", "u", "f"}
+        ]
+        if kind_bad:
+            failures.append((name, f"dtype kinds differ: {kind_bad}"))
+            print(
+                f"{name:>22}: FAIL dtype kinds "
+                + str({c: (str(a[c].dtype), str(b[c].dtype)) for c in kind_bad})
+            )
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"{name:>22}: OK  rows={len(a)}")

@@ -224,6 +224,8 @@ def tokenize_blocks(html_text: str, engine: str = "auto") -> dict[str, list]:
     ``engine``: "auto" (fast scanner, reference fallback) or
     "reference" (stdlib html.parser only — the frozen semantics).
     """
+    if engine not in ("auto", "reference"):
+        raise ValueError(f"tokenize_blocks: unknown engine {engine!r}")
     sink: _BlockSink | None = None
     if engine == "auto":
         s = _BlockSink()

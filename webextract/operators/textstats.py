@@ -98,8 +98,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
     The analog of ``parse_lang`` model-family dispatch
     (paddleocr.py:356-391) turned into a data-derived classifier.
-    Returns (doc_id, lang, pred_lang, lang_match) so corpus agreement
-    is one aggregation away.
+    Returns (doc_id, lang, pred_lang, c_<lang>...) — the declared lang,
+    the argmax prediction, and the per-language marker counts, so
+    corpus agreement (lang = pred_lang) is one aggregation away.
     """
     toks = _toks()
 

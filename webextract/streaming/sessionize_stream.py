@@ -103,8 +103,6 @@ def run_sessionize_stream(
 ) -> None:
     """Drain an events parquet directory through the stateful operator
     (availableNow), writing closed sessions to parquet."""
-    from webextract.streaming.extract_stream import PAGES_SCHEMA  # noqa: F401
-
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
