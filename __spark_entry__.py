@@ -24,6 +24,7 @@ from webextract.operators import (
     metrics,
     multimodal,
     similarity,
+    tables,
     textstats,
 )
 from webextract.operators.extract import (
@@ -32,7 +33,7 @@ from webextract.operators.extract import (
     salted_repartition,
     split_lineage,
 )
-from webextract.sources.pages import pages_from_documents
+from webextract.sources.pages import pages_from_documents, pages_with_tables
 
 EMB_DIM = 64
 
@@ -57,7 +58,8 @@ def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: synthesize pages, extract main content, return (url, text).
     Byte-identity vs the SQL-stated expectation is the whole game."""
     pages = pages_from_documents(spark, sf_dir)
-    return extract_pages(salted_repartition(pages, 32)).select("url", "text")
+    nparts = spark.sparkContext.defaultParallelism
+    return extract_pages(salted_repartition(pages, nparts)).select("url", "text")
 
 
 def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +125,15 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("blocks_kept").alias("blocks_kept"),
         F.count("*").alias("n_partitions"),
     )
+
+
+def q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-structure recovery (ppstructure/table analog): pages with
+    deterministic doc_id-derived tables → one row per cell with grid
+    coordinates. The oracle enumerates the same grid from documents."""
+    pages = pages_with_tables(spark, sf_dir)
+    nparts = spark.sparkContext.defaultParallelism
+    return tables.table_cells(salted_repartition(pages, nparts))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_hosts": q_topk_hosts,
         "extract_blocks": q_extract_blocks,
         "lineage": q_lineage,
+        "tables": q_tables,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -397,6 +409,27 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER (ORDER BY n_pages DESC, host ASC) AS rank
                   FROM a)
             SELECT rank, host, n_pages, total_chars FROM r WHERE rank <= 10
+        """,
+        "tables": f"""
+            WITH p AS (SELECT doc_id, {_URL} AS url,
+                              doc_id % 3 + 2 AS n_rows, doc_id % 2 + 2 AS n_cols
+                       FROM documents),
+            g AS (SELECT url, doc_id, n_cols,
+                         unnest(range(n_rows)) AS row_id
+                  FROM p),
+            c AS (SELECT url, doc_id, row_id,
+                         unnest(range(n_cols)) AS col_id
+                  FROM g)
+            SELECT url, 0 AS table_id,
+                   CAST(row_id AS INTEGER) AS row_id,
+                   CAST(col_id AS INTEGER) AS col_id,
+                   CASE WHEN row_id = 0 THEN 'h' || CAST(col_id AS VARCHAR)
+                        ELSE 'v' || CAST(doc_id * 100 + row_id * 10 + col_id
+                                         AS VARCHAR)
+                   END AS cell_text,
+                   row_id = 0 AS is_header,
+                   1 AS colspan, 1 AS rowspan
+            FROM c
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies

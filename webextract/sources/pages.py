@@ -101,6 +101,81 @@ def expected_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_with_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose article carries a deterministic doc_id-derived table —
+    the table-structure-recovery fixture (ppstructure/table analog).
+
+    Table shape: ``n_rows = doc_id % 3 + 2`` (incl. one ``<th>`` header
+    row), ``n_cols = doc_id % 2 + 2``; header cell text ``h<c>``, body
+    cell text ``v<doc_id*100 + r*10 + c>``. Pure JVM built-ins (nested
+    ``transform`` over ``sequence``), and the whole grid is statable in
+    ANSI SQL — the oracle enumerates the same cells from ``documents``
+    directly. The frozen extraction template stays untouched: this is a
+    SEPARATE source so extraction goldens keep their byte-identity.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_id = F.col("doc_id")
+    host = F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
+    n_rows = (doc_id % 3 + 2).cast("int")
+    n_cols = (doc_id % 2 + 2).cast("int")
+
+    def header_cell(c):
+        return F.concat(F.lit("<th>h"), c.cast("string"), F.lit("</th>"))
+
+    def body_row(r):
+        return F.concat(
+            F.lit("<tr>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), n_cols - 1),
+                    lambda c: F.concat(
+                        F.lit("<td>v"),
+                        (doc_id * 100 + r * 10 + c).cast("string"),
+                        F.lit("</td>"),
+                    ),
+                ),
+            ),
+            F.lit("</tr>"),
+        )
+
+    table_html = F.concat(
+        F.lit("<table><tr>"),
+        F.concat_ws(
+            "", F.transform(F.sequence(F.lit(0), n_cols - 1), header_cell)
+        ),
+        F.lit("</tr>"),
+        F.concat_ws(
+            "", F.transform(F.sequence(F.lit(1), n_rows - 1), body_row)
+        ),
+        F.lit("</table>"),
+    )
+    headline = F.concat(
+        F.lit("Document "), doc_id.cast("string"), F.lit(" from "), F.col("source")
+    )
+    html_str = F.concat(
+        F.lit(_TPL_HEAD),
+        headline,
+        F.lit(_TPL_MID),
+        F.col("text"),
+        F.lit("</p>"),
+        table_html,
+        F.lit("</article></body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://host"),
+            host.cast("string"),
+            F.lit(".example/doc/"),
+            doc_id.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2024) + doc_id).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def pages_replicated(
     spark: SparkSession,
     sf_dir: str,
