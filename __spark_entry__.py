@@ -162,6 +162,14 @@ def q_dedup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs → connected components → per-doc keeper decision (the
+    production dedup unit: users delete clusters, not pairs). Oracle:
+    DuckDB WITH RECURSIVE reachability over the same band pairs."""
+    docs = _docs(spark, sf_dir)
+    return dedup.cluster_keeper(docs, dedup.lsh_pairs(docs))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
@@ -301,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard_top": q_dedup_jaccard_top,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "ann_lsh": q_ann_lsh,
@@ -460,6 +469,28 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER
                     (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rank FROM j)
             SELECT rank, doc_a, doc_b, jaccard FROM r WHERE rank <= 100
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_MINHASH.strip().removeprefix("WITH")},
+            bands AS ({_BANDS_UNION}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            walk(a, label) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a),
+            comp AS (SELECT a AS doc_id, MIN(label) AS cluster_id
+                     FROM walk GROUP BY a)
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "dedup_simhash": _simhash_sql(),
         "sim_topk": """

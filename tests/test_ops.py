@@ -271,3 +271,26 @@ def test_explode_pages_fanout(spark, docs):
 def test_resize_is_stubbed(spark, docs):
     with pytest.raises(NotImplementedError):
         multimodal.resize_media(multimodal.synth_media(docs), 32, 32)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter forces multi-round propagation),
+    # pair {10,11}, singleton 99 untouched by pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    comp = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_keeper_includes_singletons(spark):
+    docs_df = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"])
+    rows = {r.doc_id: (r.cluster_id, r.is_keeper)
+            for r in dedup.cluster_keeper(docs_df, pairs).collect()}
+    assert rows == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 99: (99, True),
+    }

@@ -221,6 +221,89 @@ def simhash_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over (doc_a, doc_b) pairs → (doc_id,
+    cluster_id) with cluster_id = min doc_id in the component.
+
+    Iterative min-label propagation in pure DataFrame ops (no graph
+    library): each round every vertex takes the min of its own label
+    and its neighbors' labels; converged when no label changes. Rounds
+    needed = component diameter — near-dup clusters are dense (LSH
+    pairs form near-cliques), so this is small in practice; ``max_iter``
+    guards degenerate chain graphs.
+
+    Scale shape: the label table holds only vertices that appear in a
+    pair (tiny vs the corpus), edges are cached once and reused, each
+    round is one equi-join shuffle on doc_id + one groupBy, and
+    ``localCheckpoint`` truncates the plan so the loop does not build
+    an ever-deeper lineage. The per-round convergence count is an
+    aggregate, not a collect of data rows.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def cluster_keeper(docs: DataFrame, pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """The production dedup decision table: every doc mapped to its
+    near-dup cluster with a deterministic keeper flag.
+
+    (doc_id, cluster_id, is_keeper): cluster_id = min doc_id of the
+    connected component (docs in no pair are their own singleton
+    cluster), is_keeper = (doc_id == cluster_id). Users DELETE
+    ``is_keeper = false`` rows — clusters, not pairs, are the unit of
+    deduplication. The join back to docs is on doc_id; the component
+    label table is small (pair-touched docs only), broadcast-eligible
+    under AQE."""
+    comp = connected_components(pairs, max_iter)
+    lbl = comp.select("doc_id", F.col("cluster_id").alias("pair_cluster"))
+    return docs.select("doc_id").join(lbl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pair_cluster", "doc_id").alias("cluster_id"),
+        (F.coalesce("pair_cluster", "doc_id") == F.col("doc_id")).alias(
+            "is_keeper"
+        ),
+    )
+
+
 def dedup_keep_first(docs: DataFrame) -> DataFrame:
     """The end-to-end exact-dedup operator: returns the surviving rows
     (first doc_id per distinct text). Window row_number over the hash —
