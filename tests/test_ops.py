@@ -294,3 +294,29 @@ def test_cluster_keeper_includes_singletons(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         10: (10, True), 11: (10, False), 99: (99, True),
     }
+
+
+def test_ivf_assign_sample_trained(spark, emb):
+    # cap far below the corpus: fit must still produce n_lists centroids
+    # and assign EVERY row a list_id
+    assigned, cents = similarity.ivf_assign(emb, 8, n_lists=4, train_cap=20)
+    assert len(cents) == 4
+    n = emb.count()
+    assert assigned.filter(F.col("list_id").isNotNull()).count() == n
+    assert assigned.select("list_id").distinct().count() <= 4
+
+
+def test_ivf_probes_in_plan_no_collect(spark, emb):
+    # the probe-list computation is a DataFrame (lazy) — building it
+    # must not trigger any job; and each query gets exactly n_probe rows
+    assigned, cents = similarity.ivf_assign(emb, 8, n_lists=4)
+    assigned = similarity.with_norm(assigned)
+    queries = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    probes = similarity.ivf_probes(queries, cents, n_probe=2)
+    counts = {r.query_id: r.n for r in
+              probes.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 2, 1: 2, 2: 2}

@@ -170,23 +170,35 @@ def ann_lsh_topk(
 
 
 def ivf_assign(
-    emb: DataFrame, dim: int, n_lists: int = 16, seed: int = PLANE_SEED
+    emb: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    seed: int = PLANE_SEED,
+    train_cap: int = 100_000,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: k-means centroids (Spark ML, JVM-side)
-    over the corpus; every vector gets its nearest-centroid ``list_id``.
+    """IVF coarse quantizer: k-means centroids (Spark ML, JVM-side),
+    trained on a bounded SAMPLE of the corpus; every vector then gets
+    its nearest-centroid ``list_id`` in one full assignment pass.
 
-    The 100 TB recipe: train on a small sample (k-means cost is in the
-    assignment passes, and 16-4096 centroids train fine on ~1M sampled
-    rows), broadcast the centroids, and write the corpus bucketed by
-    ``list_id`` so probes touch only their lists' files. Returns the
-    assigned frame and the centroids (for probe selection).
+    The 100 TB recipe, now actually implemented: k-means cost is in the
+    iteration passes, and 16-4096 centroids train fine on ~1e5-1e6
+    sampled rows, so the fit touches at most ``train_cap`` rows
+    (seeded ``sample`` — deterministic for a fixed input partitioning)
+    while ``transform`` streams the full corpus once. In production the
+    corpus is then written bucketed by ``list_id`` so probes touch only
+    their lists' files. Returns the assigned frame and the centroids.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn("features", array_to_vector("embedding"))
+    n = emb.count()
+    train = feat
+    if n > train_cap:
+        frac = min(1.0, (1.2 * train_cap) / n)  # slight over-draw, then cap
+        train = feat.sample(False, frac, seed).limit(train_cap)
     km = KMeans(k=n_lists, seed=seed, featuresCol="features")
-    model = km.fit(feat)
+    model = km.fit(train)
     assigned = (
         model.transform(feat)
         .withColumnRenamed("prediction", "list_id")
@@ -194,6 +206,46 @@ def ivf_assign(
     )
     cents = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, cents
+
+
+def ivf_probes(
+    queries: DataFrame,
+    cents: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """Per-query probe lists, computed IN THE PLAN: broadcast the (tiny)
+    centroid table against the query set, L2 distance via ``zip_with``
+    + ``aggregate`` (JVM-side), rank window per query over ``n_lists``
+    rows → keep the ``n_probe`` nearest. No driver-side collect of
+    query vectors; queries stay a DataFrame end to end.
+
+    ``queries`` must carry (query_id, q_embedding, q_norm)."""
+    spark = queries.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], ["probe_list", "centroid"]
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_embedding"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("probe_list").asc()
+    )
+    return (
+        queries.crossJoin(cdf)
+        .withColumn("d2", d2)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "q_embedding", "q_norm", "probe_list")
+    )
 
 
 def ivf_topk(
@@ -205,33 +257,19 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF ANN: each query searches only its ``n_probe`` nearest
-    centroid lists. The probe set is computed driver-side over the
-    (tiny, broadcast) centroid table; the candidate join is an
-    equi-join on ``list_id``. Returns (query_id, rank, neighbor_id, sim)."""
-    import numpy as np
-
+    centroid lists. Probe selection happens in the plan (broadcast
+    centroid join, :func:`ivf_probes`); the candidate join is an
+    equi-join on ``list_id``. The plan contains NO driver collect of
+    data rows — only the k centroids (bounded, model-sized) cross the
+    driver. Returns (query_id, rank, neighbor_id, sim)."""
     assigned, cents = ivf_assign(emb, dim, n_lists)
     assigned = with_norm(assigned)
-    c = np.asarray(cents)
-    qrows = (
-        assigned.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding", "norm")
-        .collect()
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
     )
-    probe_rows = []
-    for r in qrows:
-        v = np.asarray(r["embedding"], dtype=np.float64)
-        d = ((c - v) ** 2).sum(axis=1)
-        for lid in np.argsort(d)[:n_probe]:
-            probe_rows.append(
-                (int(r["vec_id"]), r["embedding"], float(r["norm"]), int(lid))
-            )
-    spark = emb.sparkSession
-    q = F.broadcast(
-        spark.createDataFrame(
-            probe_rows, ["query_id", "q_embedding", "q_norm", "probe_list"]
-        )
-    )
+    q = F.broadcast(ivf_probes(queries, cents, n_probe))
     sim = _dot(F.col("embedding"), F.col("q_embedding")) / (
         F.col("norm") * F.col("q_norm")
     )
