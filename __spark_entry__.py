@@ -174,6 +174,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: banded candidate equi-join +
+    exact Hamming ≤ 3 filter (bit_count is portable to DuckDB)."""
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for queries vec_id<10 (ids + rank only:
     rankings are float-robust, raw sims are not engine-portable)."""
@@ -311,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_top": q_dedup_jaccard_top,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_topk": q_sim_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -393,6 +400,50 @@ WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
     FROM tok),
   v AS (SELECT doc_id, {", ".join(votes)} FROM d GROUP BY doc_id)
 SELECT doc_id, CAST({" + ".join(sig_terms)} AS INTEGER) AS simhash FROM v
+"""
+
+
+def _simhash64_pairs_sql(max_hamming: int = 3) -> str:
+    nb = dedup.SIMHASH64_BANDS
+    digit_cols = ",\n      ".join(
+        f"CAST(('0x' || substr(md5(t), {p + 1}, 1)) AS INTEGER) AS d{p}"
+        for p in range(4 * nb)
+    )
+    votes = []
+    for p in range(4 * nb):
+        for shift in (3, 2, 1, 0):
+            idx = p * 4 + (3 - shift)
+            div = 1 << shift
+            votes.append(f"SUM(((d{p} // {div}) % 2) * 2 - 1) AS v{idx}")
+    band_exprs = []
+    for b in range(nb):
+        terms = " + ".join(
+            f"(CASE WHEN v{b * 16 + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        band_exprs.append(f"CAST({terms} AS INTEGER) AS band{b}")
+    bands_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS bv FROM sig"
+        for b in range(nb)
+    )
+    ham = " + ".join(f"bit_count(xor(sa.band{i}, sb.band{i}))" for i in range(nb))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+  d AS (SELECT doc_id,
+      {digit_cols}
+    FROM tok),
+  v AS (SELECT doc_id, {", ".join(votes)} FROM d GROUP BY doc_id),
+  sig AS (SELECT doc_id, {", ".join(band_exprs)} FROM v),
+  bands AS ({bands_union}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE {ham} <= {max_hamming}
 """
 
 
@@ -493,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash64_pairs_sql(),
         "sim_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 10),

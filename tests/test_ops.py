@@ -320,3 +320,32 @@ def test_ivf_probes_in_plan_no_collect(spark, emb):
     counts = {r.query_id: r.n for r in
               probes.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
     assert counts == {0: 2, 1: 2, 2: 2}
+
+
+def test_simhash64_bands_identical_docs_match_all_bands(spark):
+    txt = "one two three four five six seven eight nine ten"
+    d = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, "other words entirely here now")],
+        ["doc_id", "text"],
+    )
+    sig = dedup.simhash64_bands(d)
+    rows = {r.doc_id: (r.band0, r.band1, r.band2, r.band3) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    for v in rows.values():
+        assert all(0 <= b <= 0xFFFF for b in v)
+
+
+def test_simhash_near_dup_pairs_planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup → hamming 0
+        (3, base.replace("today", "tomorrow")),      # near dup → small hamming
+        (4, "completely different text about maritime navigation beacons"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_dup_pairs(d, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs

@@ -212,6 +212,96 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sig.cast("int").alias("simhash"))
 
 
+SIMHASH64_BANDS = 4    # 4 bands × 16 bits = 64-bit signature
+
+
+def simhash64_bands(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash as four 16-bit band columns (doc_id, band0..band3).
+
+    The production-width signature: at ≥10^9 docs a 16-bit simhash
+    saturates by pigeonhole (everything collides), while 64 bits keep
+    near-dup Hamming distance meaningful. Bits come from the first 16
+    md5 hex digits per token (band b = digits 4b..4b+3); each bit votes
+    ±1 over the doc's tokens exactly like :func:`simhash_signatures`.
+    Bands are kept as separate ints (not one 64-bit value) so the
+    banded Hamming join below is a plain equi-join key and bit 63 never
+    hits signed-overflow portability issues. One shuffle (the groupBy);
+    64 integer sums ride the same partial aggregation.
+    """
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = F.md5(F.col("t"))
+    aggs = []
+    for p in range(4 * SIMHASH64_BANDS):
+        d = F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
+        for shift in (3, 2, 1, 0):
+            idx = p * 4 + (3 - shift)
+            bit = F.shiftright(d, shift).bitwiseAND(F.lit(1))
+            aggs.append(F.sum(bit * 2 - 1).alias(f"v{idx}"))
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    band_cols = []
+    for b in range(SIMHASH64_BANDS):
+        band = None
+        for j in range(16):
+            idx = b * 16 + j
+            term = F.when(F.col(f"v{idx}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            band = term if band is None else band + term
+        band_cols.append(band.cast("int").alias(f"band{b}"))
+    return votes.select("doc_id", *band_cols)
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash: banded candidate join +
+    exact Hamming filter.
+
+    Standard simhash-dedup decomposition (any pair within Hamming ≤ 3
+    of a 64-bit signature agrees exactly on ≥1 of 4 16-bit bands, by
+    pigeonhole): candidates come from an equi-join on (band_id,
+    band_value) — never a cross product — then the exact distance
+    Σ bit_count(band_a XOR band_b) over the four bands filters to
+    ``max_hamming``. Returns (doc_a, doc_b, hamming). All JVM
+    built-ins; ``bit_count`` exists in both Spark and DuckDB, so the
+    driver oracle reproduces every value."""
+    assert max_hamming < 4 * SIMHASH64_BANDS
+    sig = simhash64_bands(docs)
+    band_rows = [
+        F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bv"))
+        for b in range(SIMHASH64_BANDS)
+    ]
+    bt = sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("band")
+    ).select("doc_id", "band.band_id", "band.bv")
+    a = bt.alias("a")
+    b = bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(SIMHASH64_BANDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(SIMHASH64_BANDS)],
+    )
+    ham = None
+    for i in range(SIMHASH64_BANDS):
+        term = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_clusters(docs: DataFrame) -> DataFrame:
     """Docs grouped by identical simhash → (simhash, keeper, n_members)."""
     return (
