@@ -148,11 +148,23 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_pairs(_docs(spark, sf_dir))
 
 
+JACCARD_MAX_DF = 20  # hot-shingle cap (mirrored in the oracle CTE)
+
+
 def q_dedup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-100 trigram-Jaccard pairs (bounded output at every sf)."""
+    """Top-100 trigram-Jaccard pairs (bounded output at every sf).
+
+    Runs the GUARDED plan: shingles in more than ``JACCARD_MAX_DF``
+    docs are dropped from the inverted-index join on both engines (a
+    df-d shingle contributes ~d² join rows and near-zero similarity
+    signal — the d² blowup is the scale-killer this cap bounds). Union
+    sizes still count full shingle sets, so affected pairs score
+    slightly lower identically on both sides."""
     from pyspark.sql import Window
 
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.0)
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.0, max_df=JACCARD_MAX_DF
+    )
     order = [F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()]
     # distributed top-k first; the rank window sees only 100 rows
     top = pairs.orderBy(*order).limit(100)
@@ -505,10 +517,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_top": f"""
             WITH {_SHINGLES3},
+            hot AS (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING COUNT(*) > {JACCARD_MAX_DF}),
+            kept AS (SELECT doc_id, shingle FROM sh
+                     WHERE shingle NOT IN (SELECT shingle FROM hot)),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-              FROM sh a JOIN sh b
+              FROM kept a JOIN kept b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id),
             j AS (
