@@ -216,6 +216,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed self-join
+    (similarity.embedding_near_dup_pairs). The synthetic embeddings
+    have no planted near-dups, so the query unions the corpus with
+    scaled copies of vec_id<50 (same direction → same sign-sketch
+    bucket, cosine ≈ 1) under ids offset by 10^6. Rows-only: float
+    sign buckets are not SQL-portable."""
+    emb = _emb(spark, sf_dir)
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return similarity.embedding_near_dup_pairs(corpus, EMB_DIM, 0.95).select(
+        "vec_a", "vec_b"
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -333,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "emb_near_dup": q_emb_near_dup,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,

@@ -349,3 +349,58 @@ def test_simhash_near_dup_pairs_planted(spark):
              for r in dedup.simhash_near_dup_pairs(d, max_hamming=10).collect()}
     assert pairs[(1, 2)] == 0
     assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def _png_bytes(w, h):
+    import struct, zlib
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def _gif_bytes(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _jpeg_bytes(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_header_real_formats():
+    from webextract.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480, True)
+    assert parse_image_header(_gif_bytes(320, 200)) == ("gif", 320, 200, True)
+    assert parse_image_header(_jpeg_bytes(1024, 768)) == ("jpeg", 1024, 768, True)
+    # truncated png: format known, not ok
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0d") == ("png", 0, 0, False)
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", 0, 0, False)
+    assert parse_image_header(None) == ("unknown", 0, 0, False)
+    assert parse_image_header(b"garbage bytes here") == ("unknown", 0, 0, False)
+
+
+def test_decode_media_real_formats_spark(spark):
+    rows = [
+        (1, _png_bytes(640, 480), "image/png"),
+        (2, _gif_bytes(320, 200), "image/gif"),
+        (3, _jpeg_bytes(1024, 768), "image/jpeg"),
+        (4, b"IMG!" + (5).to_bytes(4, "big") + (7).to_bytes(4, "big") + b"px", "x-fake"),
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "payload", "mime"])
+    got = {r.media_id: (r.format, r.width, r.height, r.ok)
+           for r in multimodal.decode_media(media).collect()}
+    assert got[1] == ("png", 640, 480, True)
+    assert got[2] == ("gif", 320, 200, True)
+    assert got[3] == ("jpeg", 1024, 768, True)
+    assert got[4] == ("fakeimg", 5, 7, True)
+    # media_metadata's JVM magic sniff agrees on the real formats
+    meta = {r.media_id: r.format
+            for r in multimodal.media_metadata(media).collect()}
+    assert meta[1] == "png" and meta[2] == "gif" and meta[3] == "jpeg"

@@ -8,11 +8,14 @@ as a ``binary`` column with typed metadata; format sniffing and byte
 accounting are JVM built-ins; decode / resize / frame-sample are
 Arrow-batched ``mapInPandas`` stages.
 
-The actual codec step is STUBBED — image/audio libraries are not in
-this container — behind ``decode_stub``: a clearly-marked
-deterministic fake that parses our synthetic header format. The Spark
-side (schema, batch shape, partitioning, UDF signature) is real and
-tested; swapping the stub for cv2/PIL is a one-function change.
+Metadata decode (format + dimensions) is REAL for png/jpeg/gif —
+:func:`parse_image_header` reads PNG IHDR, GIF logical-screen and JPEG
+SOFn headers from raw bytes, no codec library needed. Full pixel
+decoding and resampling remain STUBBED (image/audio codecs are not in
+this container): the deterministic ``IMG!`` fake format keeps the
+decode path SQL-statable for the oracle, and ``resize_media`` raises
+until a codec (cv2/PIL) is dropped in. The Spark side (schema, batch
+shape, partitioning, UDF signature) is real and tested throughout.
 """
 
 from __future__ import annotations
@@ -84,6 +87,75 @@ def _parse_fake_header(b: bytes | None) -> tuple[str, int, int, bool]:
     return ("fakeimg", w, h, True)
 
 
+# JPEG start-of-frame markers carrying dimensions (all SOFn except the
+# DHT/DAC/restart markers that share the 0xC0 range)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xDA)) | {0x01}  # RSTn, TEM, (EOI/SOS below)
+
+
+def _parse_png(b: bytes) -> tuple[str, int, int, bool]:
+    # 8-byte signature, then the IHDR chunk: len(4) 'IHDR'(4) w(4) h(4)
+    if len(b) >= 24 and b[12:16] == b"IHDR":
+        return ("png", int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"), True)
+    return ("png", 0, 0, False)
+
+
+def _parse_gif(b: bytes) -> tuple[str, int, int, bool]:
+    # logical screen descriptor: width/height 2-byte LITTLE-endian at 6..10
+    if len(b) >= 10:
+        return ("gif", int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"), True)
+    return ("gif", 0, 0, False)
+
+
+def _parse_jpeg(b: bytes) -> tuple[str, int, int, bool]:
+    # marker walk to the first SOFn segment: height at +5, width at +7
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF found before scan
+            break
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            break
+        if marker in _JPEG_SOF and i + 9 <= n:
+            return ("jpeg", int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"), True)
+        i += 2 + seg_len
+    return ("jpeg", 0, 0, False)
+
+
+def parse_image_header(b: bytes | None) -> tuple[str, int, int, bool]:
+    """REAL image metadata from raw bytes — PNG IHDR, GIF logical
+    screen descriptor, JPEG SOFn marker walk. Pure public byte-format
+    knowledge, no codec library; the analog of ``DecodeImage``
+    (ppocr/data/imaug/operators.py:57-65) for the dimensions-only case.
+    Returns (format, width, height, ok); unknown/truncated bytes are
+    (format-or-unknown, 0, 0, False). Pixel DECODING (not just
+    dimensions) still needs a codec — see :func:`resize_media`."""
+    if b is None or len(b) < 2:
+        return ("unknown", 0, 0, False)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _parse_gif(b)
+    if b[:2] == b"\xff\xd8":
+        return _parse_jpeg(b)
+    if b[:4] == b"IMG!":
+        return _parse_fake_header(b)
+    return ("unknown", 0, 0, False)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode: one ``mapInPandas`` crossing, mirrors the
     extraction operator's batching. Emits typed decode results; a real
@@ -93,7 +165,7 @@ def decode_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            parsed = [_parse_fake_header(b) for b in pdf["payload"]]
+            parsed = [parse_image_header(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
