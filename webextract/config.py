@@ -45,6 +45,12 @@ class ExtractConfig:
     len_norm: int = 400
     depth_norm: int = 12
 
+    # RTL segment reversal (the arabic pred_reverse analog,
+    # rec_postprocess.py:51-65): off by default — goldens are cut with
+    # passthrough. Enable for an 'ar'-tagged subset of pages:
+    # extract_pages(ar_pages, ExtractConfig(rtl_reverse=True)).
+    rtl_reverse: bool = False
+
     # partitioning defaults for the Spark plan (salted repartition on
     # xxhash64(url) — replaces the reference's static modulo sharding,
     # predict_system.py:149,259-270).

@@ -35,6 +35,14 @@ def extract_page(raw: bytes | None, cfg: ExtractConfig) -> dict[str, Any]:
         truncated = True
     html_text = decode_html(raw)
     blocks = tokenize_blocks(html_text)
+    if cfg.rtl_reverse:
+        # per-block segment reversal BEFORE scoring/merge: lengths are
+        # preserved, so starts/ends and the span-slice invariant hold
+        from webextract.functions.rtl import rtl_segment_reverse
+
+        texts = [rtl_segment_reverse(t) for t in blocks["text"]]
+        blocks["text"] = texts
+        blocks["doc_text"] = "\n".join(texts)
     scores, keep = score_blocks(blocks, cfg)
     merged = merge_spans(blocks, scores, keep, cfg)
     merged.update(
