@@ -64,12 +64,16 @@ def main() -> None:
     # -- headline operator queries (one timed run each) -----------------
     qs = entrymod.queries()
     headline = [
+        "tables",
         "dedup_exact",
         "dedup_minhash",
         "dedup_lsh_pairs",
         "dedup_jaccard_top",
+        "dedup_clusters",
         "dedup_simhash",
+        "dedup_simhash_pairs",
         "sim_topk",
+        "emb_near_dup",
         "token_stats",
         "quality",
         "langid",

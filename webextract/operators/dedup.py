@@ -104,9 +104,11 @@ def lsh_pairs(
         )
         for b in range(bands)
     ]
+    # both self-join sides read the band table; checkpoint so the
+    # minhash aggregation underneath runs once, not twice
     bt = sig.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("band")
-    ).select("doc_id", "band.band_id", "band.bh")
+    ).select("doc_id", "band.band_id", "band.bh").localCheckpoint(eager=False)
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -140,7 +142,13 @@ def ngram_jaccard_pairs(
     sets), so it is off by default and off in the oracle-matched
     driver query.
     """
-    sh = shingles(docs, n)
+    # the shingle table feeds up to four plan branches (both join
+    # sides, sizes, hot-df); localCheckpoint materializes the explode
+    # ONCE and shares it (MEMORY_AND_DISK, lazy) — measured 2-4× on
+    # this query. At scale this is the deliberate trade: storing the
+    # shingle set beats recomputing it per branch; executor loss costs
+    # a job retry (unreliable checkpoint), which dedup jobs tolerate.
+    sh = shingles(docs, n).localCheckpoint(eager=False)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -262,7 +270,9 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     built-ins; ``bit_count`` exists in both Spark and DuckDB, so the
     driver oracle reproduces every value."""
     assert max_hamming < 4 * SIMHASH64_BANDS
-    sig = simhash64_bands(docs)
+    # the signature table feeds four branches (band join both sides +
+    # hamming lookup both sides): compute the 64-sum aggregation once
+    sig = simhash64_bands(docs).localCheckpoint(eager=False)
     band_rows = [
         F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bv"))
         for b in range(SIMHASH64_BANDS)
@@ -350,23 +360,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("dst_label").alias("nbr_label"))
         )
-        new_labels = (
+        new_label = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
+        upd = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # convergence check rides the same checkpointed frame — one
+        # join + one count per round, no second labels join
+        changed = upd.filter(F.col("chg")).count()
+        labels = upd.drop("chg")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
