@@ -96,7 +96,12 @@ def q_topk_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an unpartitioned row_number drags every row to one partition;
     # the rank window then runs over only the k survivors.
     top = agg.orderBy(F.col("n_pages").desc(), F.col("host").asc()).limit(10)
-    w = Window.orderBy(F.col("n_pages").desc(), F.col("host").asc())
+    # single-group partition key derived from a column (a bare literal
+    # gets constant-folded out of the spec and the global-window
+    # warning returns): same semantics over the ≤10 survivors
+    w = Window.partitionBy(F.substring("host", 0, 0)).orderBy(
+        F.col("n_pages").desc(), F.col("host").asc()
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "host", "n_pages", "total_chars"
     )
@@ -167,11 +172,20 @@ def q_dedup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()]
     # distributed top-k first; the rank window sees only 100 rows
+    # (column-derived constant key: a bare literal folds away)
     top = pairs.orderBy(*order).limit(100)
-    w = Window.orderBy(*order)
+    w = Window.partitionBy(F.substring(F.col("doc_a").cast("string"), 0, 0)).orderBy(
+        *order
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_a", "doc_b", "jaccard"
     )
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line/sentence dedup (C4-style first-occurrence
+    keep): docs rebuilt from surviving sentences."""
+    return dedup.line_dedup(_docs(spark, sf_dir))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard_top": q_dedup_jaccard_top,
+        "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -555,6 +570,24 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER
                     (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rank FROM j)
             SELECT rank, doc_a, doc_b, jaccard FROM r WHERE rank <= 100
+        """,
+        "dedup_lines": """
+            WITH toks AS (SELECT doc_id, string_split(text, '. ') AS t
+                          FROM documents),
+            l AS (SELECT doc_id,
+                         unnest(t) AS line,
+                         unnest(range(len(t))) AS line_no
+                  FROM toks),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+                  FROM l)
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       '. ' ORDER BY line_no), '') AS clean_text,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM r GROUP BY doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_MINHASH.strip().removeprefix("WITH")},

@@ -42,8 +42,12 @@ from webextract.session import get_spark
 from webextract.operators.extract import extract_pages
 
 pages_path, cpus = sys.argv[1], int(sys.argv[2])
+batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 spark = get_spark("scaling-bench", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus,
+                  extra={"spark.sql.execution.arrow.maxRecordsPerBatch":
+                         str(batch)})
 pages = spark.read.parquet(pages_path)
 n = pages.count()
 
@@ -52,21 +56,24 @@ def run():
     extract_pages(pages).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
-run()                      # warm-up, discarded
-secs = min(run(), run())   # best of 2 measured runs
+run()                             # warm-up, discarded
+secs = min(run() for _ in range(runs))
 print(json.dumps({"cpus": cpus, "pages": n, "sec": secs,
-                  "pages_per_sec": n / secs}))
+                  "pages_per_sec": n / secs, "arrow_batch": batch}))
 spark.stop()
 """
 
 
-def run_level(pages_path: str, cpus: int) -> dict:
+def run_level(
+    pages_path: str, cpus: int, batch: int = 1024, runs: int = 2
+) -> dict:
     """One cluster size = one pinned core budget: the whole JVM + its
     python workers share exactly ``cpus`` cores (taskset), exactly as an
     N-core cluster would. Without pinning, the small config borrows the
     idle cores for its JVM scan/Arrow threads and the comparison is not
     N vs 4N."""
-    cmd = [sys.executable, "-c", _WORKER, pages_path, str(cpus)]
+    cmd = [sys.executable, "-c", _WORKER, pages_path, str(cpus),
+           str(batch), str(runs)]
     total = os.cpu_count() or cpus
     if cpus < total:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd

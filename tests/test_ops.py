@@ -404,3 +404,28 @@ def test_decode_media_real_formats_spark(spark):
     meta = {r.media_id: r.format
             for r in multimodal.media_metadata(media).collect()}
     assert meta[1] == "png" and meta[2] == "gif" and meta[3] == "jpeg"
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "alpha beta. gamma delta. alpha beta"),   # self-dup line
+        (2, "gamma delta. unique two"),               # cross-doc dup
+        (3, "unique three"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+           for r in dedup.line_dedup(d).collect()}
+    # doc1 keeps first "alpha beta" + "gamma delta", drops its own repeat
+    assert got[1] == ("alpha beta. gamma delta", 3, 2)
+    # doc2's "gamma delta" lost to doc1; keeps its unique line
+    assert got[2] == ("unique two", 2, 1)
+    assert got[3] == ("unique three", 1, 1)
+
+
+def test_line_dedup_all_lines_dropped_yields_empty(spark):
+    rows = [(1, "only line"), (2, "only line")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.clean_text, r.n_kept)
+           for r in dedup.line_dedup(d).collect()}
+    assert got[1] == ("only line", 1)
+    assert got[2] == ("", 0)

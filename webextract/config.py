@@ -45,6 +45,11 @@ class ExtractConfig:
     len_norm: int = 400
     depth_norm: int = 12
 
+    # mojibake repair (the use_angle_cls analog, predict_cls.py:39-122:
+    # classify-then-correct, opt-in): detect double-encoded UTF-8 and
+    # re-decode before tokenization. Default off — goldens frozen.
+    fix_mojibake: bool = False
+
     # RTL segment reversal (the arabic pred_reverse analog,
     # rec_postprocess.py:51-65): off by default — goldens are cut with
     # passthrough. Enable for an 'ar'-tagged subset of pages:

@@ -34,6 +34,12 @@ def extract_page(raw: bytes | None, cfg: ExtractConfig) -> dict[str, Any]:
         raw = raw[: cfg.max_html_bytes]
         truncated = True
     html_text = decode_html(raw)
+    if cfg.fix_mojibake:
+        # classify-then-correct, the cls-stage analog (predict_cls.py):
+        # repairs double-encoded pages, leaves healthy pages untouched
+        from webextract.functions.mojibake import fix_mojibake
+
+        html_text = fix_mojibake(html_text)
     blocks = tokenize_blocks(html_text)
     if cfg.rtl_reverse:
         # per-block segment reversal BEFORE scoring/merge: lengths are

@@ -321,6 +321,52 @@ def simhash_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def line_dedup(docs: DataFrame, sep: str = ". ") -> DataFrame:
+    """Corpus-wide exact line/sentence dedup (the C4-style boilerplate
+    line removal): every distinct line survives only at its FIRST
+    occurrence (min doc_id, then min position); docs are rebuilt from
+    their surviving lines in original order.
+
+    Returns (doc_id, clean_text, n_lines, n_kept). Scale shape: one
+    shuffle on the line value (the first-occurrence window), one
+    shuffle back on doc_id (the rebuild groupBy) — both equi-key; line
+    values could be md5-hashed before the window at 100 TB to shrink
+    shuffle width (kept raw here for the value-exact oracle).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), _re_escape(sep))).alias(
+            "line_no", "line"
+        ),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    flagged = lines.withColumn(
+        "is_first", F.row_number().over(w) == 1
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("is_first"),
+                F.struct(F.col("line_no"), F.col("line")),
+            )
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(kept_struct, lambda x: x["line"]),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over (doc_a, doc_b) pairs → (doc_id,
     cluster_id) with cluster_id = min doc_id in the component.

@@ -83,7 +83,12 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
     # unpartitioned window over the full user set
     order = [F.col("total_value").desc(), F.col("user_id").asc()]
     top = totals.orderBy(*order).limit(k)
-    w = Window.orderBy(*order)
+    # single-group key derived from a column (bare literals fold away
+    # and the global-window warning returns); ≤k rows, so one group
+    # costs nothing
+    w = Window.partitionBy(
+        F.substring(F.col("user_id").cast("string"), 0, 0)
+    ).orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "user_id", "total_value", "n_events"
     )
