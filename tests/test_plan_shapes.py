@@ -71,3 +71,53 @@ def test_whole_stage_codegen_in_jvm_paths(spark):
     plan = plan_of(entrymod.q_token_stats(spark, SF))
     assert "*(1)" in plan  # whole-stage-codegen stage marker
     assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_tables_scan_prunes_and_single_arrow_stage(spark):
+    # cell fan-out happens inside ONE MapInArrow stage (no explode
+    # shuffle); the scan reads only what page synthesis needs
+    plan = plan_of(entrymod.q_tables(spark, SF))
+    assert plan.count("MapInArrow") == 1
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "lang" not in read_schema  # pruned (synthesis needs doc_id/text/source)
+
+
+def test_simhash_pairs_is_banded_equi_join(spark):
+    plan = plan_of(entrymod.q_dedup_simhash_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_guard_reuses_checkpointed_shingles(spark):
+    # the shingle explode must appear as a reused checkpoint scan, not
+    # four re-derivations: the plan contains "Scan ExistingRDD" nodes
+    plan = plan_of(entrymod.q_dedup_jaccard_top(spark, SF))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_no_python_node(spark):
+    # line dedup is 100% JVM built-ins
+    plan = plan_of(entrymod.q_dedup_lines(spark, SF))
+    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_probe_plan_has_no_cartesian_on_corpus(spark):
+    # the corpus-side candidate join is an equi-join on list_id; only
+    # the tiny centroid table rides a broadcast nested-loop cross join
+    import webextract.operators.similarity as similarity
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, cents = similarity.ivf_assign(emb, 64, n_lists=4)
+    assigned = similarity.with_norm(assigned)
+    queries = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    probes = similarity.ivf_probes(queries, cents, n_probe=2)
+    plan = plan_of(probes)
+    # centroid side is broadcast (bounded by n_lists), never shuffled
+    assert "BroadcastExchange" in plan
