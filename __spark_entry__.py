@@ -248,6 +248,36 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url dedup: every doc fans out 5 messy spellings
+    (fragment, utm param, uppercased host + default port, trailing
+    slash) and the canonicalizer must collapse them back to the base
+    url. The oracle states the expected canonical form directly —
+    ground truth, not a re-implementation of the rules."""
+    from webextract.operators.urlnorm import dedup_by_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    host = F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
+    base = F.concat(
+        F.lit("https://host"), host.cast("string"),
+        F.lit(".example/doc/"), doc_id.cast("string"),
+    )
+    shouty = F.concat(
+        F.lit("HTTPS://HOST"), host.cast("string"),
+        F.lit(".EXAMPLE:443/doc/"), doc_id.cast("string"),
+    )
+    variants = F.array(
+        base,
+        F.concat(base, F.lit("#section2")),
+        F.concat(base, F.lit("?utm_source=feed")),
+        shouty,
+        F.concat(base, F.lit("/")),
+    )
+    pages = docs.select(F.explode(variants).alias("url"))
+    return dedup_by_url(pages)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -367,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "emb_near_dup": q_emb_near_dup,
+        "url_dedup": q_url_dedup,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -624,6 +655,22 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY sim DESC, neighbor_id ASC) AS rank
                   FROM s)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        """,
+        "url_dedup": f"""
+            WITH b AS (SELECT doc_id, {_URL} AS base, {_HOST} AS h
+                       FROM documents),
+            v AS (SELECT doc_id, base,
+                         unnest([base,
+                                 base || '#section2',
+                                 base || '?utm_source=feed',
+                                 'HTTPS://HOST' || CAST(h AS VARCHAR)
+                                     || '.EXAMPLE:443/doc/'
+                                     || CAST(doc_id AS VARCHAR),
+                                 base || '/']) AS raw
+                  FROM b)
+            SELECT base AS canon_url, MIN(raw) AS keeper,
+                   COUNT(*) AS n_spellings
+            FROM v GROUP BY base
         """,
         "token_stats": rf"""
             SELECT doc_id,

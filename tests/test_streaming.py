@@ -46,3 +46,38 @@ def test_streaming_hourly_hosts_batch_parity(spark):
     assert row[0] == 500
     # warc_ts synthesis spans 500 seconds from the 2024 epoch → 1 window
     assert rolled.select("start").distinct().count() == 1
+
+
+def test_streaming_dedup_drain_matches_batch_distinct(spark, tmp_path):
+    from webextract.streaming.dedup_stream import run_dedup_stream
+
+    inp = str(tmp_path / "din")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    pages = pages_from_documents(spark, SF)
+    # plant duplicates: every page twice (distinct urls, same text)
+    dup = pages.withColumn("url", F.concat(F.col("url"), F.lit("/copy")))
+    pages.unionByName(dup).repartition(4).write.parquet(inp)
+
+    run_dedup_stream(spark, inp, out, ckpt)
+
+    streamed = spark.read.parquet(out)
+    n_distinct = pages.select(F.md5("text")).distinct().count()
+    # one survivor per distinct content hash, no hash seen twice
+    assert streamed.count() == n_distinct
+    assert streamed.select("content_h").distinct().count() == n_distinct
+    # exactly-once: re-drain adds nothing
+    run_dedup_stream(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == n_distinct
+
+
+def test_streaming_dedup_watermarked_plan_is_streaming_safe(spark):
+    from webextract.streaming.dedup_stream import streaming_dedup_watermarked
+    from webextract.streaming.extract_stream import PAGES_SCHEMA
+
+    # analysis-time check: the watermarked variant must be a valid
+    # STREAMING plan (dropDuplicatesWithinWatermark rejects batch-only
+    # constructs at analysis), verified without running a query
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet("/root/testdata")
+    deduped = streaming_dedup_watermarked(src, "1 hour")
+    assert deduped.isStreaming

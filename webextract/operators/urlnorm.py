@@ -1,0 +1,77 @@
+"""URL canonicalization + canonical-url dedup.
+
+The crawl-side analog of the reference's filename-keyed result
+identity (``predict_system.py:204-215`` keys results by image path):
+at 10^12 documents the same page arrives under many url spellings, so
+the pipeline needs one frozen canonical form BEFORE content dedup.
+
+Frozen rules (applied in order; every rule is a JVM built-in column
+expression, mirrored 1:1 in the DuckDB oracle):
+ 1. fragment (``#...``) dropped;
+ 2. scheme and host lowercased;
+ 3. default ports stripped (``:80`` for http, ``:443`` for https);
+ 4. empty path → ``/``; a trailing slash on a non-root path dropped;
+ 5. ``utm_*`` tracking params dropped; an emptied query loses its
+    ``?``; surviving params keep their original order.
+
+Whole pipeline is ``regexp_extract``/``filter``/``concat`` inside
+codegen — no UDF, no shuffle; the dedup itself is one groupBy on the
+canonical string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATHQ_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+
+def _strip_suffix(col: Column, n: int) -> Column:
+    return F.substring(col, F.lit(1), F.length(col) - n)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of *url* per the frozen rules. Total: a string
+    with no ``scheme://`` prefix passes through unchanged."""
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(no_frag, _HOST_RE, 1))
+    host = (
+        F.when((scheme == "http") & hostport.endswith(":80"), _strip_suffix(hostport, 3))
+        .when((scheme == "https") & hostport.endswith(":443"), _strip_suffix(hostport, 4))
+        .otherwise(hostport)
+    )
+    path_q = F.regexp_extract(no_frag, _PATHQ_RE, 1)
+    raw_path = F.regexp_extract(path_q, r"^([^?]*)", 1)
+    query = F.regexp_extract(path_q, r"^[^?]*\?(.*)$", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"), _strip_suffix(path, 1)
+    ).otherwise(path)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != ""),
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qtail)
+    )
+
+
+def dedup_by_url(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical-url dedup survey: one row per canonical url with the
+    keeper (lexicographic min raw spelling) and the spelling count."""
+    canon = canonical_url(F.col(url_col))
+    return (
+        pages.select(F.col(url_col).alias("raw_url"), canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("raw_url").alias("keeper"),
+            F.count("*").alias("n_spellings"),
+        )
+    )
