@@ -429,3 +429,15 @@ def test_line_dedup_all_lines_dropped_yields_empty(spark):
            for r in dedup.line_dedup(d).collect()}
     assert got[1] == ("only line", 1)
     assert got[2] == ("", 0)
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    # a 30-edge chain has diameter 30; plain propagation needs 30
+    # rounds, pointer jumping converges well inside max_iter=10
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 31)], ["doc_a", "doc_b"]
+    )
+    comp = dedup.connected_components(pairs, max_iter=10)
+    labels = {r.doc_id: r.cluster_id for r in comp.collect()}
+    assert set(labels.values()) == {1}
+    assert len(labels) == 31

@@ -371,19 +371,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over (doc_a, doc_b) pairs → (doc_id,
     cluster_id) with cluster_id = min doc_id in the component.
 
-    Iterative min-label propagation in pure DataFrame ops (no graph
-    library): each round every vertex takes the min of its own label
-    and its neighbors' labels; converged when no label changes. Rounds
-    needed = component diameter — near-dup clusters are dense (LSH
-    pairs form near-cliques), so this is small in practice; ``max_iter``
-    guards degenerate chain graphs.
+    Iterative min-label propagation with POINTER JUMPING in pure
+    DataFrame ops (no graph library): each round every vertex takes
+    the min of its own label and its neighbors' labels, then jumps
+    ``label := label(label)`` (path halving). The jump makes
+    convergence O(log diameter) instead of O(diameter), so a
+    pathological 2^k-long near-dup chain converges in ~k rounds —
+    ``max_iter`` rounds cover diameters up to ~2^max_iter, and running
+    out anyway raises rather than returning silently-wrong clusters.
 
     Scale shape: the label table holds only vertices that appear in a
     pair (tiny vs the corpus), edges are cached once and reused, each
-    round is one equi-join shuffle on doc_id + one groupBy, and
-    ``localCheckpoint`` truncates the plan so the loop does not build
-    an ever-deeper lineage. The per-round convergence count is an
-    aggregate, not a collect of data rows.
+    round is two equi-join shuffles (neighbor min + jump) + one
+    groupBy, and ``localCheckpoint`` truncates the plan so the loop
+    does not build an ever-deeper lineage. The per-round convergence
+    count is an aggregate, not a collect of data rows.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
@@ -407,22 +409,41 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("dst_label").alias("nbr_label"))
         )
         new_label = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
-        upd = (
-            labels.join(nbr, "doc_id", "left")
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id", new_label.alias("label")
+        )
+        # pointer jump (path halving): label := label's current label.
+        # Every label IS a vertex id in the set, so the lookup is an
+        # equi-join against the label table itself.
+        jump = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("label2")
+        )
+        jumped = (
+            stepped.join(jump, "label", "left")
             .select(
                 "doc_id",
-                new_label.alias("label"),
-                (new_label < F.col("label")).alias("chg"),
+                F.coalesce("label2", "label").alias("label"),
+            )
+        )
+        upd = (
+            jumped.alias("n")
+            .join(labels.select("doc_id", F.col("label").alias("old")), "doc_id")
+            .select(
+                "doc_id",
+                "label",
+                (F.col("label") < F.col("old")).alias("chg"),
             )
             .localCheckpoint()
         )
-        # convergence check rides the same checkpointed frame — one
-        # join + one count per round, no second labels join
+        # convergence check rides the same checkpointed frame
         changed = upd.filter(F.col("chg")).count()
         labels = upd.drop("chg")
         if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter > ~2^max_iter — raise max_iter)"
+    )
 
 
 def cluster_keeper(docs: DataFrame, pairs: DataFrame, max_iter: int = 25) -> DataFrame:
