@@ -163,3 +163,46 @@ def test_spark_table_cells_matches_local(spark):
         zip(local["row_id"], local["col_id"], local["cell_text"]),
     ):
         assert (r.row_id, r.col_id, r.cell_text) == (rr, cc, txt)
+
+
+# -- property fuzz ----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TOKENS = list("<>/abct rdhl\"'=0123456789") + [
+    "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+    "<th>", "</th>", '<td colspan="2">', '<td rowspan="3">',
+    "cell text", "&amp;", "<div>", "</div>",
+]
+_table_soup = st.lists(st.sampled_from(_TOKENS), max_size=40).map("".join)
+
+
+@given(_table_soup)
+@settings(max_examples=300, deadline=None)
+def test_parse_tables_total_on_arbitrary_soup(soup):
+    cols = parse_tables(soup)  # must never raise
+    n = len(cols["table_id"])
+    assert all(len(v) == n for v in cols.values())
+
+
+@given(_table_soup)
+@settings(max_examples=300, deadline=None)
+def test_parse_tables_grid_invariants(soup):
+    cols = parse_tables(soup)
+    seen = {}
+    for t, r, c, cs, rs in zip(
+        cols["table_id"], cols["row_id"], cols["col_id"],
+        cols["colspan"], cols["rowspan"],
+    ):
+        assert r >= 0 and c >= 0 and cs >= 1 and rs >= 1
+        # no two cells of a table anchor at the same (row, col)
+        key = (t, r, c)
+        assert key not in seen
+        seen[key] = True
+
+
+@given(_table_soup)
+@settings(max_examples=200, deadline=None)
+def test_parse_tables_deterministic(soup):
+    assert parse_tables(soup) == parse_tables(soup)
