@@ -69,6 +69,8 @@ def main() -> None:
         "dedup_minhash",
         "dedup_lsh_pairs",
         "dedup_jaccard_top",
+        "dedup_lines",
+        "url_dedup",
         "dedup_clusters",
         "dedup_simhash",
         "dedup_simhash_pairs",
