@@ -72,6 +72,8 @@ class _BlockSink:
 
     def __init__(self) -> None:
         self.stack: list[str] = []
+        self.open_counts: dict[str, int] = {}  # per-tag open count (O(1) membership)
+        self.block_stack: list[str] = []       # open BLOCK_TAGS, innermost last
         self.skip_depth = 0          # >0 ⇒ inside a SKIP_TAGS subtree
         self.boiler_depth = 0        # >0 ⇒ inside a BOILER_TAGS subtree
         self.pre_depth = 0           # >0 ⇒ inside <pre>
@@ -94,6 +96,10 @@ class _BlockSink:
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
+        if not self.frags:           # empty block: nothing canonicalizes
+            self.link_frags = []
+            self.n_links_in_block = 0
+            return
         if self.block_was_pre:
             text = _canon_pre(self.frags)
         else:
@@ -102,7 +108,9 @@ class _BlockSink:
             self.tags.append(self.block_tag)
             self.depths.append(self.block_depth)
             self.texts.append(text)
-            self.link_lens.append(len(_canon(self.link_frags)))
+            self.link_lens.append(
+                len(_canon(self.link_frags)) if self.link_frags else 0
+            )
             self.n_links.append(self.n_links_in_block)
             self.boilers.append(self.block_boiler)
             self.pres.append(self.block_was_pre)
@@ -126,6 +134,7 @@ class _BlockSink:
                     self.link_frags.append(" ")
             return
         self.stack.append(tag)
+        self.open_counts[tag] = self.open_counts.get(tag, 0) + 1
         if tag in SKIP_TAGS:
             self.skip_depth += 1
         if tag in BOILER_TAGS:
@@ -135,16 +144,19 @@ class _BlockSink:
         if tag == "a":
             self.link_depth += 1
             self.n_links_in_block += 1
-        if tag in BLOCK_TAGS and not self.skip_depth:
-            self._begin_block(tag)
+        if tag in BLOCK_TAGS:
+            self.block_stack.append(tag)
+            if not self.skip_depth:
+                self._begin_block(tag)
 
     def endtag(self, tag: str) -> None:
         if tag in _SPACING_VOID:
             return
         # tolerant unwinding for malformed html: pop to nearest match
-        if tag in self.stack:
+        if self.open_counts.get(tag, 0) > 0:
             while self.stack:
                 t = self.stack.pop()
+                self.open_counts[t] -= 1
                 if t in SKIP_TAGS:
                     self.skip_depth -= 1
                 if t in BOILER_TAGS:
@@ -153,17 +165,14 @@ class _BlockSink:
                     self.pre_depth -= 1
                 if t == "a":
                     self.link_depth -= 1
+                if t in BLOCK_TAGS:
+                    self.block_stack.pop()
                 if t == tag:
                     break
         if tag in BLOCK_TAGS and not self.skip_depth:
             # closing a block flushes it; enclosing block tag resumes
             self._flush()
-            enclosing = "body"
-            for t in reversed(self.stack):
-                if t in BLOCK_TAGS:
-                    enclosing = t
-                    break
-            self.block_tag = enclosing
+            self.block_tag = self.block_stack[-1] if self.block_stack else "body"
             self.block_depth = len(self.stack)
             self.block_boiler = self.boiler_depth > 0
             self.block_was_pre = self.pre_depth > 0
