@@ -122,7 +122,8 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage aggregate (the time_dict analog). Rows-only
     check: wall-clock ms is non-deterministic by nature."""
     pages = pages_from_documents(spark, sf_dir)
-    uni = extract_pages_with_lineage(salted_repartition(pages, 16))
+    nparts = max(2, spark.sparkContext.defaultParallelism // 2)
+    uni = extract_pages_with_lineage(salted_repartition(pages, nparts))
     _, lin = split_lineage(uni)
     return lin.agg(
         F.sum("urls_in").alias("urls_in"),

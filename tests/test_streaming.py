@@ -81,3 +81,28 @@ def test_streaming_dedup_watermarked_plan_is_streaming_safe(spark):
     src = spark.readStream.schema(PAGES_SCHEMA).parquet("/root/testdata")
     deduped = streaming_dedup_watermarked(src, "1 hour")
     assert deduped.isStreaming
+
+
+def test_streaming_tables_drain_matches_batch(spark, tmp_path):
+    from webextract.operators.tables import table_cells
+    from webextract.sources.pages import pages_with_tables
+    from webextract.streaming.extract_stream import run_tables_stream
+
+    inp = str(tmp_path / "tin")
+    out = str(tmp_path / "tout")
+    ckpt = str(tmp_path / "tckpt")
+    pages = pages_with_tables(spark, SF)
+    pages.repartition(4).write.parquet(inp)
+
+    run_tables_stream(spark, inp, out, ckpt)
+
+    streamed = spark.read.parquet(out)
+    batch = table_cells(pages)
+    assert streamed.count() == batch.count()
+    key = ["url", "table_id", "row_id", "col_id"]
+    diff = (
+        streamed.select(*key, F.col("cell_text").alias("stext"))
+        .join(batch.select(*key, "cell_text"), key)
+        .filter(F.col("stext") != F.col("cell_text"))
+    )
+    assert diff.count() == 0

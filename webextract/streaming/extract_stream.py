@@ -70,6 +70,30 @@ def run_extract_stream(
     q.awaitTermination()
 
 
+def run_tables_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> None:
+    """Table-structure recovery on a page stream: the same
+    ``table_cells`` operator (stateless per-row fan-out) under
+    availableNow with exactly-once checkpointing."""
+    from webextract.operators.tables import table_cells
+
+    pages = read_pages_stream(spark, input_dir)
+    q = (
+        table_cells(pages, cfg)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_hourly_hosts(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Event-time rollup on the page stream: pages/hour per host with a
     late-data watermark (the windowed-agg face of the engine; runs on a
