@@ -256,16 +256,13 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     url. The oracle states the expected canonical form directly —
     ground truth, not a re-implementation of the rules."""
     from webextract.operators.urlnorm import dedup_by_url
+    from webextract.sources.pages import page_host, page_url
 
     docs = _docs(spark, sf_dir)
     doc_id = F.col("doc_id")
-    host = F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
-    base = F.concat(
-        F.lit("https://host"), host.cast("string"),
-        F.lit(".example/doc/"), doc_id.cast("string"),
-    )
+    base = page_url(doc_id)
     shouty = F.concat(
-        F.lit("HTTPS://HOST"), host.cast("string"),
+        F.lit("HTTPS://HOST"), page_host(doc_id).cast("string"),
         F.lit(".EXAMPLE:443/doc/"), doc_id.cast("string"),
     )
     variants = F.array(

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PAGE_REPLICAS = int(os.environ.get("WEBEXTRACT_BENCH_REPLICAS", "8"))
 # min-of-N timing per query: this sandbox VM's throughput swings ~25%
 # window to window, and min-of-2 cuts that noise out of the record
-BENCH_RUNS = int(os.environ.get("WEBEXTRACT_BENCH_RUNS", "2"))
+BENCH_RUNS = max(1, int(os.environ.get("WEBEXTRACT_BENCH_RUNS", "2")))
 
 
 def materialize(df) -> int:

@@ -441,3 +441,13 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     labels = {r.doc_id: r.cluster_id for r in comp.collect()}
     assert set(labels.values()) == {1}
     assert len(labels) == 31
+
+
+def test_jpeg_stops_at_eoi_marker():
+    from webextract.operators.multimodal import parse_image_header
+
+    # SOI + EOI + trailing garbage that LOOKS like an SOF segment:
+    # the walk must stop at EOI, not parse dimensions from the tail
+    import struct
+    tail = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 256, 512) + b"\x01\x11\x00"
+    assert parse_image_header(b"\xff\xd8\xff\xd9" + tail) == ("jpeg", 0, 0, False)

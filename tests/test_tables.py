@@ -206,3 +206,29 @@ def test_parse_tables_grid_invariants(soup):
 @settings(max_examples=200, deadline=None)
 def test_parse_tables_deterministic(soup):
     assert parse_tables(soup) == parse_tables(soup)
+
+
+def test_self_closed_cell_preserves_structure():
+    # <td/> is start+end: an empty cell at col 0, 'x' shifts to col 1
+    g = grid("<table><tr><td/><td>x</td></tr></table>")
+    assert g == {(0, 0, 0): "", (0, 0, 1): "x"}
+
+
+def test_hostile_spans_bounded_time_and_memory():
+    import time
+
+    html = "<table><tr>" + '<td colspan="1000" rowspan="1000">x</td>' * 50 + "</tr></table>"
+    t0 = time.perf_counter()
+    cs = cells(html)
+    assert time.perf_counter() - t0 < 2.0   # was ~24s+566MB per 5 cells
+    assert len(cs) == 50
+    # grid placement still honors the spans: cells tile left to right
+    assert [c[2] for c in cs] == [i * 1000 for i in range(50)]
+
+
+def test_cell_cap_bounds_hostile_pages():
+    from webextract.functions.tables import _MAX_CELLS
+
+    html = "<table>" + "<tr><td>a</td><td>b</td></tr>" * (_MAX_CELLS // 2 + 10) + "</table>"
+    cs = parse_tables(html)
+    assert len(cs["table_id"]) == _MAX_CELLS

@@ -29,7 +29,8 @@ from html.parser import HTMLParser
 from webextract.config import SKIP_TAGS
 
 _CELL_TAGS = ("td", "th")
-_MAX_SPAN = 1000  # clamp hostile colspan/rowspan attributes
+_MAX_SPAN = 1000      # clamp hostile colspan/rowspan attributes
+_MAX_CELLS = 100_000  # per-page cell cap (content-controlled blowup guard)
 
 
 def _canon(fragments: list[str]) -> str:
@@ -37,9 +38,14 @@ def _canon(fragments: list[str]) -> str:
 
 
 class _Grid:
-    """One table's cell grid with rowspan/colspan occupancy."""
+    """One table's cell grid with rowspan/colspan occupancy.
 
-    __slots__ = ("table_id", "cells", "row", "next_col", "occupied")
+    Occupancy is a per-column ``blocked-until-row`` map, NOT the full
+    (row, col) span product: a ``colspan=1000 rowspan=1000`` cell costs
+    1000 dict entries, not 10^6 set entries — hostile span attributes
+    stay O(colspan) per cell in both time and memory."""
+
+    __slots__ = ("table_id", "cells", "row", "next_col", "blocked")
 
     def __init__(self, table_id: int) -> None:
         self.table_id = table_id
@@ -47,7 +53,7 @@ class _Grid:
         self.cells: list[tuple[int, int, str, bool, int, int]] = []
         self.row = -1
         self.next_col = 0
-        self.occupied: set[tuple[int, int]] = set()
+        self.blocked: dict[int, int] = {}  # col -> last row a span covers
 
     def open_row(self) -> None:
         self.row += 1
@@ -57,11 +63,13 @@ class _Grid:
         if self.row < 0:  # cell with no <tr> (malformed): implicit row
             self.open_row()
         col = self.next_col
-        while (self.row, col) in self.occupied:
+        blocked = self.blocked
+        while blocked.get(col, -1) >= self.row:
             col += 1
-        for rr in range(self.row, self.row + rowspan):
-            for cc in range(col, col + colspan):
-                self.occupied.add((rr, cc))
+        last_row = self.row + rowspan - 1
+        for cc in range(col, col + colspan):
+            if blocked.get(cc, -1) < last_row:
+                blocked[cc] = last_row
         self.next_col = col + colspan
         self.cells.append((self.row, col, text, is_header, colspan, rowspan))
 
@@ -84,28 +92,25 @@ class _TableParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.n_tables = 0
+        self.n_cells = 0
         self.done: list[_Grid] = []
         self.table_stack: list[_Grid] = []
         # innermost open cell's fragment buffer, or None; one per open
         # table level (a nested table suspends the outer cell's text)
         self.cell_stack: list[list[str] | None] = []
         self.cell_meta: list[tuple[bool, int, int] | None] = []
-        self.row_open: list[bool] = []
         self.skip_depth = 0
 
     # -- helpers ---------------------------------------------------------
     def _close_cell(self) -> None:
         if self.table_stack and self.cell_stack[-1] is not None:
-            grid = self.table_stack[-1]
-            is_header, cs, rs = self.cell_meta[-1]  # type: ignore[misc]
-            grid.place(_canon(self.cell_stack[-1]), is_header, cs, rs)
+            if self.n_cells < _MAX_CELLS:
+                grid = self.table_stack[-1]
+                is_header, cs, rs = self.cell_meta[-1]  # type: ignore[misc]
+                grid.place(_canon(self.cell_stack[-1]), is_header, cs, rs)
+                self.n_cells += 1
             self.cell_stack[-1] = None
             self.cell_meta[-1] = None
-
-    def _close_row(self) -> None:
-        self._close_cell()
-        if self.row_open:
-            self.row_open[-1] = False
 
     def _close_table(self) -> None:
         if not self.table_stack:
@@ -114,7 +119,6 @@ class _TableParser(HTMLParser):
         self.done.append(self.table_stack.pop())
         self.cell_stack.pop()
         self.cell_meta.pop()
-        self.row_open.pop()
 
     # -- events ----------------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list) -> None:
@@ -129,11 +133,9 @@ class _TableParser(HTMLParser):
             self.table_stack.append(grid)
             self.cell_stack.append(None)
             self.cell_meta.append(None)
-            self.row_open.append(False)
         elif tag == "tr" and self.table_stack:
-            self._close_row()
+            self._close_cell()
             self.table_stack[-1].open_row()
-            self.row_open[-1] = True
         elif tag in _CELL_TAGS and self.table_stack:
             self._close_cell()
             self.cell_stack[-1] = []
@@ -153,13 +155,19 @@ class _TableParser(HTMLParser):
         if tag == "table":
             self._close_table()
         elif tag == "tr" and self.table_stack:
-            self._close_row()
+            self._close_cell()
         elif tag in _CELL_TAGS and self.table_stack:
             self._close_cell()
 
     def handle_startendtag(self, tag: str, attrs: list) -> None:
         if tag in ("br", "wbr"):  # spacing voids inside cells
             self.handle_data(" ")
+        else:
+            # html.parser's default: a self-closed tag is start + end —
+            # <td/> records an EMPTY cell (structure preserved), a
+            # self-closed <table/> opens and closes an empty grid
+            self.handle_starttag(tag, attrs)
+            self.handle_endtag(tag)
 
     def handle_data(self, data: str) -> None:
         if self.skip_depth or not data:

@@ -22,6 +22,8 @@ Scale design (the part that matters at 10^12 docs):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -335,7 +337,7 @@ def line_dedup(docs: DataFrame, sep: str = ". ") -> DataFrame:
     """
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), _re_escape(sep))).alias(
+        F.posexplode(F.split(F.col("text"), re.escape(sep))).alias(
             "line_no", "line"
         ),
     )
@@ -359,12 +361,6 @@ def line_dedup(docs: DataFrame, sep: str = ". ") -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
     )
-
-
-def _re_escape(s: str) -> str:
-    import re
-
-    return re.escape(s)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

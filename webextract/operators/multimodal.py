@@ -90,7 +90,10 @@ def _parse_fake_header(b: bytes | None) -> tuple[str, int, int, bool]:
 # JPEG start-of-frame markers carrying dimensions (all SOFn except the
 # DHT/DAC/restart markers that share the 0xC0 range)
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
-_JPEG_STANDALONE = frozenset(range(0xD0, 0xDA)) | {0x01}  # RSTn, TEM, (EOI/SOS below)
+# RSTn (D0-D7), TEM, SOI: standalone, no length word. EOI (D9) is NOT
+# here — it must reach the break below, or the walk would scan past
+# end-of-image into trailing bytes (camera appendices, concatenations)
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xD8)) | {0x01, 0xD8}
 
 
 def _parse_png(b: bytes) -> tuple[str, int, int, bool]:

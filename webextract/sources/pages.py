@@ -47,6 +47,23 @@ _TPL_TAIL = (
 _EPOCH_2024 = 1_704_067_200
 
 
+def page_host(doc_id):
+    """The frozen skewed-host formula (mirrored by ``_HOST`` in the
+    oracle SQL — change BOTH or neither): half of all pages land on
+    host0 to exercise the salted repartition."""
+    return F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
+
+
+def page_url(doc_id):
+    """The frozen page url (mirrored by ``_URL`` in the oracle SQL)."""
+    return F.concat(
+        F.lit("https://host"),
+        page_host(doc_id).cast("string"),
+        F.lit(".example/doc/"),
+        doc_id.cast("string"),
+    )
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → pages(url, warc_ts, html, text, lang).
 
@@ -56,7 +73,6 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     doc_id = F.col("doc_id")
-    host = F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
     headline = F.concat(
         F.lit("Document "), doc_id.cast("string"), F.lit(" from "), F.col("source")
     )
@@ -64,12 +80,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_TPL_HEAD), headline, F.lit(_TPL_MID), F.col("text"), F.lit(_TPL_TAIL)
     )
     return docs.select(
-        F.concat(
-            F.lit("https://host"),
-            host.cast("string"),
-            F.lit(".example/doc/"),
-            doc_id.cast("string"),
-        ).alias("url"),
+        page_url(doc_id).alias("url"),
         F.timestamp_seconds(F.lit(_EPOCH_2024) + doc_id).alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),
         F.col("text"),
@@ -82,14 +93,8 @@ def expected_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identically for :func:`pages_from_documents` input."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     doc_id = F.col("doc_id")
-    host = F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
     return docs.select(
-        F.concat(
-            F.lit("https://host"),
-            host.cast("string"),
-            F.lit(".example/doc/"),
-            doc_id.cast("string"),
-        ).alias("url"),
+        page_url(doc_id).alias("url"),
         F.concat(
             F.lit("Document "),
             doc_id.cast("string"),
@@ -115,7 +120,6 @@ def pages_with_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     doc_id = F.col("doc_id")
-    host = F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
     n_rows = (doc_id % 3 + 2).cast("int")
     n_cols = (doc_id % 2 + 2).cast("int")
 
@@ -163,12 +167,7 @@ def pages_with_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</article></body></html>"),
     )
     return docs.select(
-        F.concat(
-            F.lit("https://host"),
-            host.cast("string"),
-            F.lit(".example/doc/"),
-            doc_id.cast("string"),
-        ).alias("url"),
+        page_url(doc_id).alias("url"),
         F.timestamp_seconds(F.lit(_EPOCH_2024) + doc_id).alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),
         F.col("text"),
@@ -202,7 +201,6 @@ def pages_replicated(
         # where it's cheap.
         docs = docs.repartition(partitions, F.xxhash64(F.col("doc_id")))
     doc_id = F.col("doc_id")
-    host = F.when(doc_id % 2 == 0, F.lit(0)).otherwise(doc_id % 37)
     headline = F.concat(
         F.lit("Document "), doc_id.cast("string"), F.lit(" from "), F.col("source")
     )
@@ -213,12 +211,7 @@ def pages_replicated(
         F.lit(_TPL_HEAD), headline, F.lit(_TPL_MID), body, F.lit(_TPL_TAIL)
     )
     base = docs.select(
-        F.concat(
-            F.lit("https://host"),
-            host.cast("string"),
-            F.lit(".example/doc/"),
-            doc_id.cast("string"),
-        ).alias("url"),
+        page_url(doc_id).alias("url"),
         F.timestamp_seconds(F.lit(_EPOCH_2024) + doc_id).alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),
         F.col("text"),

@@ -23,9 +23,12 @@ from pyspark.sql import functions as F
 
 def streaming_dedup(pages: DataFrame) -> DataFrame:
     """First-seen-wins exact dedup on content hash (unbounded state;
-    use for bounded availableNow drains). Works on streaming AND batch
-    frames — batch ``dropDuplicates`` is the same keep-one semantics,
-    which is what the stream/batch parity test pins."""
+    use for bounded availableNow drains). On a STREAM, state makes the
+    first-arriving row the survivor. On a BATCH frame the surviving
+    KEY SET is identical but which row survives per key is
+    partition-order-arbitrary — for a deterministic batch keeper use
+    ``dedup.dedup_keep_first`` instead (the parity test compares key
+    sets and counts, not keeper identity)."""
     return pages.withColumn("content_h", F.md5(F.col("text"))).dropDuplicates(
         ["content_h"]
     )
