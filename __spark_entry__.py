@@ -335,6 +335,22 @@ def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning chain: synthesize pages →
+    extract main content → corpus-wide line dedup of the EXTRACTED
+    text → minimum-length quality gate. Every stage is the production
+    operator; the oracle replays the same chain in SQL."""
+    ext = q_extract(spark, sf_dir)
+    docs = ext.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    clean = dedup.line_dedup(docs)
+    return clean.filter(
+        F.size(F.split(F.col("clean_text"), " ")) >= 5
+    ).select("doc_id", "clean_text", "n_lines", "n_kept")
+
+
 def q_union_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset mixing (§2.7): two sources unioned with deterministic
     hash-sampling ratios (the multi-label-file mix,
@@ -408,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pages": q_media_pages,
         "union_sample": q_union_sample,
         "pipeline_dedup": q_pipeline_dedup,
+        "pipeline_clean": q_pipeline_clean,
         "extract_eval": q_extract_eval,
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
@@ -476,6 +493,28 @@ WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
   v AS (SELECT doc_id, {", ".join(votes)} FROM d GROUP BY doc_id)
 SELECT doc_id, CAST({" + ".join(sig_terms)} AS INTEGER) AS simhash FROM v
 """
+
+
+def _line_dedup_cte(src: str) -> str:
+    """The line-dedup CTE chain over ``src(doc_id, text)`` — shared by
+    the dedup_lines and pipeline_clean oracles (mirrors
+    dedup.line_dedup exactly)."""
+    return f"""toks AS (SELECT doc_id, string_split(text, '. ') AS t
+                          FROM {src}),
+            l AS (SELECT doc_id,
+                         unnest(t) AS line,
+                         unnest(range(len(t))) AS line_no
+                  FROM toks),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+                  FROM l),
+            k AS (SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       '. ' ORDER BY line_no), '') AS clean_text,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM r GROUP BY doc_id)"""
 
 
 def _simhash64_pairs_sql(max_hamming: int = 3) -> str:
@@ -600,23 +639,15 @@ def oracle_sql() -> dict[str, str]:
                     (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rank FROM j)
             SELECT rank, doc_a, doc_b, jaccard FROM r WHERE rank <= 100
         """,
-        "dedup_lines": """
-            WITH toks AS (SELECT doc_id, string_split(text, '. ') AS t
-                          FROM documents),
-            l AS (SELECT doc_id,
-                         unnest(t) AS line,
-                         unnest(range(len(t))) AS line_no
-                  FROM toks),
-            r AS (SELECT *, row_number() OVER
-                    (PARTITION BY line ORDER BY doc_id, line_no) AS rn
-                  FROM l)
-            SELECT doc_id,
-                   COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
-                                       '. ' ORDER BY line_no), '') AS clean_text,
-                   COUNT(*) AS n_lines,
-                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_kept
-            FROM r GROUP BY doc_id
+        "dedup_lines": f"""
+            WITH {_line_dedup_cte("documents")}
+            SELECT doc_id, clean_text, n_lines, n_kept FROM k
+        """,
+        "pipeline_clean": f"""
+            WITH e AS (SELECT doc_id, {_EXTRACTED} AS text FROM documents),
+            {_line_dedup_cte("e")}
+            SELECT doc_id, clean_text, n_lines, n_kept FROM k
+            WHERE len(string_split(clean_text, ' ')) >= 5
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_MINHASH.strip().removeprefix("WITH")},
