@@ -106,3 +106,32 @@ def test_streaming_tables_drain_matches_batch(spark, tmp_path):
         .filter(F.col("stext") != F.col("cell_text"))
     )
     assert diff.count() == 0
+
+
+def test_streaming_dedup_watermarked_drain(spark, tmp_path):
+    from webextract.streaming.dedup_stream import streaming_dedup_watermarked
+    from webextract.streaming.extract_stream import read_pages_stream
+
+    inp = str(tmp_path / "win")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    pages = pages_from_documents(spark, SF)
+    # duplicates share warc_ts (re-fetch within the horizon): the
+    # watermarked dedup must always drop them
+    dup = pages.withColumn("url", F.concat(F.col("url"), F.lit("/copy")))
+    pages.unionByName(dup).repartition(4).write.parquet(inp)
+
+    q = (
+        streaming_dedup_watermarked(read_pages_stream(spark, inp), "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out)
+    n_distinct = pages.select(F.md5("text")).distinct().count()
+    assert streamed.count() == n_distinct
+    assert streamed.select("content_h").distinct().count() == n_distinct
