@@ -174,6 +174,7 @@ _TOKENS = list("<>/abct rdhl\"'=0123456789") + [
     "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
     "<th>", "</th>", '<td colspan="2">', '<td rowspan="3">',
     "cell text", "&amp;", "<div>", "</div>",
+    "<td/>", "<th/>", "<table/>", "<tr/>", "<br/>",
 ]
 _table_soup = st.lists(st.sampled_from(_TOKENS), max_size=40).map("".join)
 

@@ -74,3 +74,61 @@ def test_nested_block_tags_flush():
 def test_depth_recorded():
     b = tokenize_blocks("<div><div><div><p>deep</p></div></div></div>")
     assert b["depth"][0] == 4
+
+
+# -- sink bookkeeping invariants (the O(1) refactor's contract) -------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webextract.config import BLOCK_TAGS
+from webextract.functions.tokenizer import _BlockSink, _SPACING_VOID
+
+_EVT_TAGS = ["div", "p", "td", "tr", "table", "a", "pre", "script",
+             "nav", "span", "b", "br", "ul", "li", "body"]
+_events = st.lists(
+    st.tuples(st.sampled_from(["start", "end", "startend", "data"]),
+              st.sampled_from(_EVT_TAGS)),
+    max_size=60,
+)
+
+
+@given(_events)
+@settings(max_examples=400, deadline=None)
+def test_sink_bookkeeping_matches_stack(events):
+    """open_counts and block_stack must mirror `stack` after EVERY
+    event — the O(1) lookups are only correct if they never diverge
+    from the structures they replaced."""
+    sink = _BlockSink()
+    for kind, tag in events:
+        if kind == "start":
+            sink.starttag(tag)
+        elif kind == "end":
+            sink.endtag(tag)
+        elif kind == "startend":
+            sink.startendtag(tag)
+        else:
+            sink.data("x ")
+        # invariant 1: open_counts is exactly the multiset of stack
+        from collections import Counter
+        counts = Counter(sink.stack)
+        for t, n in sink.open_counts.items():
+            assert counts.get(t, 0) == n, (kind, tag, sink.stack)
+        # invariant 2: block_stack is the BLOCK_TAGS subsequence of stack
+        assert sink.block_stack == [t for t in sink.stack if t in BLOCK_TAGS]
+        # invariant 3: depth counters never go negative
+        assert sink.skip_depth >= 0 and sink.boiler_depth >= 0
+        assert sink.pre_depth >= 0 and sink.link_depth >= 0
+    sink._flush()  # and the sink can always flush
+
+
+@given(_events)
+@settings(max_examples=200, deadline=None)
+def test_sink_spacing_voids_never_enter_stack(events):
+    sink = _BlockSink()
+    for kind, tag in events:
+        if kind == "start":
+            sink.starttag(tag)
+        elif kind == "end":
+            sink.endtag(tag)
+    assert not any(t in _SPACING_VOID for t in sink.stack)
