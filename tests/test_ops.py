@@ -451,3 +451,25 @@ def test_jpeg_stops_at_eoi_marker():
     import struct
     tail = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 256, 512) + b"\x01\x11\x00"
     assert parse_image_header(b"\xff\xd8\xff\xd9" + tail) == ("jpeg", 0, 0, False)
+
+
+def test_line_dedup_hash_shuffle_identical(spark):
+    docs_df = spark.createDataFrame(
+        [(1, "alpha beta. gamma delta. alpha beta"),
+         (2, "gamma delta. unique two"), (3, "unique three")],
+        ["doc_id", "text"],
+    )
+    raw = sorted(map(tuple, dedup.line_dedup(docs_df).collect()))
+    hashed = sorted(map(tuple, dedup.line_dedup(docs_df, hash_shuffle=True).collect()))
+    assert raw == hashed
+
+
+def test_hourly_rollup_approx_users_close_to_exact(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {(r.hour, r.event_type): r.n_users
+             for r in events.hourly_rollup(ev).collect()}
+    approx = {(r.hour, r.event_type): r.n_users
+              for r in events.hourly_rollup(ev, approx_users=True).collect()}
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])

@@ -323,17 +323,21 @@ def simhash_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
-def line_dedup(docs: DataFrame, sep: str = ". ") -> DataFrame:
+def line_dedup(
+    docs: DataFrame, sep: str = ". ", hash_shuffle: bool = False
+) -> DataFrame:
     """Corpus-wide exact line/sentence dedup (the C4-style boilerplate
     line removal): every distinct line survives only at its FIRST
     occurrence (min doc_id, then min position); docs are rebuilt from
     their surviving lines in original order.
 
     Returns (doc_id, clean_text, n_lines, n_kept). Scale shape: one
-    shuffle on the line value (the first-occurrence window), one
-    shuffle back on doc_id (the rebuild groupBy) — both equi-key; line
-    values could be md5-hashed before the window at 100 TB to shrink
-    shuffle width (kept raw here for the value-exact oracle).
+    shuffle on the line key (the first-occurrence window), one shuffle
+    back on doc_id (the rebuild groupBy) — both equi-key.
+    ``hash_shuffle=True`` windows over ``md5(line)`` instead of the
+    raw line, shrinking the shuffle key to 32 bytes at 100 TB; results
+    are identical barring a 128-bit collision (the driver query keeps
+    the raw key so the oracle stays transparently value-exact).
     """
     lines = docs.select(
         "doc_id",
@@ -341,7 +345,8 @@ def line_dedup(docs: DataFrame, sep: str = ". ") -> DataFrame:
             "line_no", "line"
         ),
     )
-    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    key = F.md5(F.col("line")) if hash_shuffle else F.col("line")
+    w = Window.partitionBy(key).orderBy("doc_id", "line_no")
     flagged = lines.withColumn(
         "is_first", F.row_number().over(w) == 1
     )

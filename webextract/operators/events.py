@@ -20,14 +20,21 @@ from pyspark.sql import functions as F
 SESSION_GAP_MIN = 30  # minutes of silence that close a session (frozen)
 
 
-def hourly_rollup(events: DataFrame) -> DataFrame:
+def hourly_rollup(events: DataFrame, approx_users: bool = False) -> DataFrame:
     """Tumbling 1-hour rollup per event_type: counts, users, exact sum.
 
-    Partial+final agg is native (one shuffle on (hour, event_type));
-    ``approx_count_distinct`` would be the 100 TB choice for user
-    counts — exact distinct is kept here because the oracle must match
-    bit-for-bit, and the swap is a one-line change.
+    Partial+final agg is native (one shuffle on (hour, event_type)).
+    ``approx_users=True`` swaps the user count to
+    ``approx_count_distinct`` (HLL++, rsd 2%) — the 100 TB choice:
+    exact distinct shuffles every (group, user_id) pair, the sketch
+    shuffles one fixed-size buffer per group. Default stays exact so
+    the oracle matches bit-for-bit.
     """
+    users = (
+        F.approx_count_distinct(F.col("user_id"), 0.02)
+        if approx_users
+        else F.count_distinct(F.col("user_id"))
+    )
     return (
         events.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -35,7 +42,7 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.count_distinct(F.col("user_id")).alias("n_users"),
+            users.alias("n_users"),
             F.sum(F.col("value").cast("decimal(38,6)"))
             .cast("double")
             .alias("sum_value"),
