@@ -207,6 +207,15 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir))
 
 
+def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash dedup family end to end: 64-bit signatures → banded
+    Hamming pairs → connected components → keeper decision (the same
+    production shape as dedup_clusters, different similarity signal)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.simhash_near_dup_pairs(docs).select("doc_a", "doc_b")
+    return dedup.cluster_keeper(docs, pairs)
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for queries vec_id<10 (ids + rank only:
     rankings are float-robust, raw sims are not engine-portable)."""
@@ -407,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "simhash_clusters": q_simhash_clusters,
         "sim_topk": q_sim_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -517,7 +527,10 @@ def _line_dedup_cte(src: str) -> str:
             FROM r GROUP BY doc_id)"""
 
 
-def _simhash64_pairs_sql(max_hamming: int = 3) -> str:
+def _simhash64_cte(max_hamming: int = 3) -> str:
+    """CTE chain ending in ``sp(doc_a, doc_b, hamming)`` — the 64-bit
+    banded-Hamming near-dup pairs, shared by the pairs and clusters
+    oracles."""
     nb = dedup.SIMHASH64_BANDS
     digit_cols = ",\n      ".join(
         f"CAST(('0x' || substr(md5(t), {p + 1}, 1)) AS INTEGER) AS d{p}"
@@ -541,8 +554,7 @@ def _simhash64_pairs_sql(max_hamming: int = 3) -> str:
         for b in range(nb)
     )
     ham = " + ".join(f"bit_count(xor(sa.band{i}, sb.band{i}))" for i in range(nb))
-    return f"""
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    return f"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
   d AS (SELECT doc_id,
       {digit_cols}
     FROM tok),
@@ -552,12 +564,35 @@ WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
   cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
-FROM cand
-JOIN sig sa ON sa.doc_id = doc_a
-JOIN sig sb ON sb.doc_id = doc_b
-WHERE {ham} <= {max_hamming}
+      ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id),
+  sp AS (
+    SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE {ham} <= {max_hamming})"""
+
+
+def _simhash64_pairs_sql(max_hamming: int = 3) -> str:
+    return f"WITH {_simhash64_cte(max_hamming)} SELECT * FROM sp"
+
+
+def _simhash64_clusters_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH RECURSIVE {_simhash64_cte(max_hamming)},
+  edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM sp
+    UNION SELECT doc_b, doc_a FROM sp),
+  walk(a, label) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a),
+  comp AS (SELECT a AS doc_id, MIN(label) AS cluster_id
+           FROM walk GROUP BY a)
+SELECT docs.doc_id,
+       COALESCE(c.cluster_id, docs.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, docs.doc_id) = docs.doc_id AS is_keeper
+FROM documents docs LEFT JOIN comp c USING (doc_id)
 """
 
 
@@ -673,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash64_pairs_sql(),
+        "simhash_clusters": _simhash64_clusters_sql(),
         "sim_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 10),
