@@ -89,6 +89,7 @@ def main() -> None:
         "events_hourly",
         "events_sessions",
         "media_decode",
+        "pipeline_clean",
         "pricing_summary",
         "orders_by_region",
     ]
