@@ -109,11 +109,12 @@ def test_sink_bookkeeping_matches_stack(events):
             sink.startendtag(tag)
         else:
             sink.data("x ")
-        # invariant 1: open_counts is exactly the multiset of stack
+        # invariant 1: open_counts is exactly the multiset of stack —
+        # compared BOTH ways (a stack entry missing from open_counts
+        # must fail too)
         from collections import Counter
-        counts = Counter(sink.stack)
-        for t, n in sink.open_counts.items():
-            assert counts.get(t, 0) == n, (kind, tag, sink.stack)
+        nonzero = {t: n for t, n in sink.open_counts.items() if n}
+        assert nonzero == dict(Counter(sink.stack)), (kind, tag, sink.stack)
         # invariant 2: block_stack is the BLOCK_TAGS subsequence of stack
         assert sink.block_stack == [t for t in sink.stack if t in BLOCK_TAGS]
         # invariant 3: depth counters never go negative
