@@ -98,8 +98,12 @@ def q_topk_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.col("n_pages").desc(), F.col("host").asc()).limit(10)
     # single-group partition key derived from a column (a bare literal
     # gets constant-folded out of the spec and the global-window
-    # warning returns): same semantics over the ≤10 survivors
-    w = Window.partitionBy(F.substring("host", 0, 0)).orderBy(
+    # warning returns): same semantics over the ≤10 survivors.
+    # coalesce guards a NULL host (substring of NULL is NULL → would
+    # split the single group and duplicate rank 1).
+    w = Window.partitionBy(
+        F.coalesce(F.substring("host", 0, 0), F.lit(""))
+    ).orderBy(
         F.col("n_pages").desc(), F.col("host").asc()
     )
     return top.withColumn("rank", F.row_number().over(w)).select(
@@ -175,9 +179,9 @@ def q_dedup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed top-k first; the rank window sees only 100 rows
     # (column-derived constant key: a bare literal folds away)
     top = pairs.orderBy(*order).limit(100)
-    w = Window.partitionBy(F.substring(F.col("doc_a").cast("string"), 0, 0)).orderBy(
-        *order
-    )
+    w = Window.partitionBy(
+        F.coalesce(F.substring(F.col("doc_a").cast("string"), 0, 0), F.lit(""))
+    ).orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_a", "doc_b", "jaccard"
     )
@@ -198,6 +202,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADLINE simhash signatures: the production 64-bit width (four
+    16-bit band columns — the join key layout of the banded Hamming
+    dedup). A 16-bit signature saturates by pigeonhole at ≥10^6 docs;
+    the demo-width variant survives as ``simhash16_demo`` only."""
+    return dedup.simhash64_bands(_docs(spark, sf_dir))
+
+
+def q_simhash16_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash (DEMO width — saturates at corpus scale; kept as
+    the minimal oracle-transparent illustration of the bit-vote
+    construction, never for production dedup)."""
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
 
@@ -415,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
+        "simhash16_demo": q_simhash16_demo,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
         "sim_topk": q_sim_topk,
@@ -706,7 +722,11 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
             FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
-        "dedup_simhash": _simhash_sql(),
+        "dedup_simhash": f"""
+WITH {_simhash64_cte()}
+SELECT doc_id, band0, band1, band2, band3 FROM sig
+""",
+        "simhash16_demo": _simhash_sql(),
         "dedup_simhash_pairs": _simhash64_pairs_sql(),
         "simhash_clusters": _simhash64_clusters_sql(),
         "sim_topk": """

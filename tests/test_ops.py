@@ -346,9 +346,13 @@ def test_simhash_near_dup_pairs_planted(spark):
     ]
     d = spark.createDataFrame(rows, ["doc_id", "text"])
     pairs = {(r.doc_a, r.doc_b): r.hamming
-             for r in dedup.simhash_near_dup_pairs(d, max_hamming=10).collect()}
+             for r in dedup.simhash_near_dup_pairs(d, max_hamming=3).collect()}
     assert pairs[(1, 2)] == 0
     assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+    # distances ≥ the band count break the pigeonhole completeness
+    # guarantee — the operator refuses rather than silently losing pairs
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(d, max_hamming=dedup.SIMHASH64_BANDS)
 
 
 def _png_bytes(w, h):

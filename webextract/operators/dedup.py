@@ -141,8 +141,9 @@ def ngram_jaccard_pairs(
     almost no similarity signal (stopword shingles); dropping them
     bounds the worst bucket of the self-join. It slightly LOWERS
     computed jaccard for affected pairs (union still counts the full
-    sets), so it is off by default and off in the oracle-matched
-    driver query.
+    sets) — identically on both engines: the oracle-matched driver
+    query ``q_dedup_jaccard_top`` runs the guarded plan with
+    ``max_df=JACCARD_MAX_DF`` and mirrors the cap in its oracle CTE.
     """
     # the shingle table feeds up to four plan branches (both join
     # sides, sizes, hot-df); localCheckpoint materializes the explode
@@ -192,7 +193,9 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash per doc from md5-derived token bits.
+    """16-bit SimHash per doc from md5-derived token bits (DEMO width —
+    saturates by pigeonhole at ≥10^6 docs; production dedup uses
+    :func:`simhash64_bands` / :func:`simhash_near_dup_pairs`).
 
     Per token, the first 4 md5 hex digits give 16 bits; each bit votes
     ±1; signature bit b is set when the vote is positive. All bit math
@@ -270,8 +273,19 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     Σ bit_count(band_a XOR band_b) over the four bands filters to
     ``max_hamming``. Returns (doc_a, doc_b, hamming). All JVM
     built-ins; ``bit_count`` exists in both Spark and DuckDB, so the
-    driver oracle reproduces every value."""
-    assert max_hamming < 4 * SIMHASH64_BANDS
+    driver oracle reproduces every value.
+
+    Recall is EXACT only for ``max_hamming < SIMHASH64_BANDS``: with B
+    bands, pigeonhole guarantees a shared band only when fewer than B
+    bits differ. Larger distances would silently miss pairs whose
+    differing bits spread across all bands, so they are rejected
+    rather than approximated."""
+    if not max_hamming < SIMHASH64_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the banded-candidate "
+            f"completeness guarantee (requires < {SIMHASH64_BANDS} "
+            "bands); raise SIMHASH64_BANDS instead of loosening this"
+        )
     # the signature table feeds four branches (band join both sides +
     # hamming lookup both sides): compute the 64-sum aggregation once
     sig = simhash64_bands(docs).localCheckpoint(eager=False)
@@ -368,7 +382,9 @@ def line_dedup(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, check_every: int = 3
+) -> DataFrame:
     """Connected components over (doc_a, doc_b) pairs → (doc_id,
     cluster_id) with cluster_id = min doc_id in the component.
 
@@ -385,8 +401,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     pair (tiny vs the corpus), edges are cached once and reused, each
     round is two equi-join shuffles (neighbor min + jump) + one
     groupBy, and ``localCheckpoint`` truncates the plan so the loop
-    does not build an ever-deeper lineage. The per-round convergence
-    count is an aggregate, not a collect of data rows.
+    does not build an ever-deeper lineage. The convergence count is an
+    aggregate (never a collect of data rows) and — because pointer
+    jumping makes overshoot rounds cheap — it runs only every
+    ``check_every`` rounds plus the final round, cutting the
+    driver-sync job count ~3× vs checking each round.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
@@ -398,7 +417,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(
@@ -436,11 +455,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint()
         )
-        # convergence check rides the same checkpointed frame
-        changed = upd.filter(F.col("chg")).count()
         labels = upd.drop("chg")
-        if changed == 0:
-            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+        # convergence check rides the checkpointed frame; run it only
+        # on cadence (or the last permitted round) — skipped rounds
+        # trade a cheap extra join round for a saved driver sync
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            if upd.filter(F.col("chg")).count() == 0:
+                return labels.select("doc_id", F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter > ~2^max_iter — raise max_iter)"

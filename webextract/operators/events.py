@@ -92,9 +92,10 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
     top = totals.orderBy(*order).limit(k)
     # single-group key derived from a column (bare literals fold away
     # and the global-window warning returns); ≤k rows, so one group
-    # costs nothing
+    # costs nothing. coalesce keeps the key constant for NULL users
+    # (substring of NULL is NULL, which would split the group).
     w = Window.partitionBy(
-        F.substring(F.col("user_id").cast("string"), 0, 0)
+        F.coalesce(F.substring(F.col("user_id").cast("string"), 0, 0), F.lit(""))
     ).orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "user_id", "total_value", "n_events"

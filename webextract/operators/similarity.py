@@ -175,6 +175,7 @@ def ivf_assign(
     n_lists: int = 16,
     seed: int = PLANE_SEED,
     train_cap: int = 100_000,
+    sample_frac: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids (Spark ML, JVM-side),
     trained on a bounded SAMPLE of the corpus; every vector then gets
@@ -182,21 +183,26 @@ def ivf_assign(
 
     The 100 TB recipe, now actually implemented: k-means cost is in the
     iteration passes, and 16-4096 centroids train fine on ~1e5-1e6
-    sampled rows, so the fit touches at most ``train_cap`` rows
-    (seeded ``sample`` — deterministic for a fixed input partitioning)
-    while ``transform`` streams the full corpus once. In production the
-    corpus is then written bucketed by ``list_id`` so probes touch only
-    their lists' files. Returns the assigned frame and the centroids.
+    sampled rows, so the fit touches at most ``train_cap`` rows while
+    ``transform`` streams the full corpus once. The cap is enforced by
+    ``limit(train_cap)`` alone — NO corpus ``count()`` pass (at 100 TB
+    a count is a full extra scan just to pick a sampling fraction; the
+    limit short-circuits the scan as soon as the cap is hit instead).
+    Pass ``sample_frac`` when the leading partitions are not
+    representative (e.g. input sorted by class): a seeded fixed-
+    fraction ``sample`` then spreads the draw before the cap. In
+    production the corpus is then written bucketed by ``list_id`` so
+    probes touch only their lists' files. Returns the assigned frame
+    and the centroids.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn("features", array_to_vector("embedding"))
-    n = emb.count()
     train = feat
-    if n > train_cap:
-        frac = min(1.0, (1.2 * train_cap) / n)  # slight over-draw, then cap
-        train = feat.sample(False, frac, seed).limit(train_cap)
+    if sample_frac is not None:
+        train = train.sample(False, sample_frac, seed)
+    train = train.limit(train_cap)
     km = KMeans(k=n_lists, seed=seed, featuresCol="features")
     model = km.fit(train)
     assigned = (
