@@ -113,8 +113,11 @@ def q_topk_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded span table (url, block_id, tag, start, end) — the
-    dt_boxes nested-array analog, flattened. No SQL oracle (the
-    tokenizer is the UDF)."""
+    dt_boxes nested-array analog, flattened. Offsets index the full
+    block-text stream (all DOM blocks joined by newline), so the
+    frozen page template makes every value SQL-statable: block 0 is
+    the nav ('Home About Contact', 18 chars), block 1 the headline,
+    block 2 the body — the oracle states the arithmetic directly."""
     pages = pages_from_documents(spark, sf_dir)
     ext = extract_pages(pages)
     return ext.select("url", F.explode("spans").alias("s")).select(
@@ -144,6 +147,28 @@ def q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_with_tables(spark, sf_dir)
     nparts = spark.sparkContext.defaultParallelism
     return tables.table_cells(salted_repartition(pages, nparts))
+
+
+def q_layout_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-region typing (PP-Structure layout-analysis analog,
+    ppstructure/predict_system.py:111-117): every DOM block of every
+    page classified heading/paragraph/list_item/nav/boilerplate. The
+    frozen template makes all 6 blocks per page SQL-statable."""
+    from webextract.operators.layout import layout_regions
+
+    pages = pages_from_documents(spark, sf_dir)
+    nparts = spark.sparkContext.defaultParallelism
+    return layout_regions(salted_repartition(pages, nparts))
+
+
+def q_layout_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup of the layout view: block counts + kept share per
+    region type (one partial+final aggregation over the block table)."""
+    from webextract.operators.layout import layout_regions, layout_summary
+
+    pages = pages_from_documents(spark, sf_dir)
+    nparts = spark.sparkContext.defaultParallelism
+    return layout_summary(layout_regions(salted_repartition(pages, nparts)))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_blocks": q_extract_blocks,
         "lineage": q_lineage,
         "tables": q_tables,
+        "layout_regions": q_layout_regions,
+        "layout_summary": q_layout_summary,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -656,6 +683,54 @@ def oracle_sql() -> dict[str, str]:
                    1 AS colspan, 1 AS rowspan
             FROM c
         """,
+        # the frozen template yields exactly 6 blocks per page; the
+        # oracle states them as a literal block table crossed with urls
+        "layout_regions": f"""
+            WITH u AS (SELECT {_URL} AS url FROM documents),
+            b(block_id, tag, region_type, is_boiler, is_kept) AS (VALUES
+              (0, 'nav', 'nav', true, false),
+              (1, 'h1', 'heading', false, true),
+              (2, 'p', 'paragraph', false, true),
+              (3, 'li', 'list_item', true, false),
+              (4, 'li', 'list_item', true, false),
+              (5, 'p', 'boilerplate', true, false))
+            SELECT u.url, CAST(b.block_id AS INTEGER) AS block_id,
+                   b.tag, b.region_type, b.is_boiler, b.is_kept
+            FROM u CROSS JOIN b
+        """,
+        "layout_summary": """
+            WITH n AS (SELECT COUNT(*) AS c FROM documents)
+            SELECT x.region_type,
+                   CAST(x.per_page * n.c AS BIGINT) AS n_blocks,
+                   CAST(x.kept_per_page * n.c AS BIGINT) AS n_kept,
+                   CAST(n.c AS BIGINT) AS n_pages
+            FROM n CROSS JOIN (VALUES
+              ('nav', 1, 0),
+              ('heading', 1, 1),
+              ('paragraph', 1, 1),
+              ('list_item', 2, 0),
+              ('boilerplate', 1, 0)) AS x(region_type, per_page, kept_per_page)
+        """,
+        # offsets index the newline-joined block-text stream: block 0
+        # is the template nav ('Home About Contact' = 18 chars), so the
+        # kept headline block starts at 19; the body block follows one
+        # separator after the headline. Lengths come straight from
+        # documents — the whole span table is template arithmetic.
+        "extract_blocks": f"""
+            WITH b AS (SELECT doc_id, {_URL} AS url,
+                              length('Document ' || CAST(doc_id AS VARCHAR)
+                                     || ' from ' || source) AS hl,
+                              length(text) AS tl
+                       FROM documents)
+            SELECT url, CAST(1 AS INTEGER) AS block_id, 'h1' AS tag,
+                   CAST(19 AS INTEGER) AS start,
+                   CAST(19 + hl AS INTEGER) AS "end"
+            FROM b
+            UNION ALL
+            SELECT url, CAST(2 AS INTEGER), 'p',
+                   CAST(20 + hl AS INTEGER), CAST(20 + hl + tl AS INTEGER)
+            FROM b
+        """,
         "dedup_exact": """
             SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
@@ -888,8 +963,8 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        # extract_blocks, lineage, ann_lsh: intentionally no oracle
-        # (UDF-internal tokenization / wall-clock / float sign buckets).
+        # lineage, ann_lsh, ann_ivf, emb_near_dup: intentionally no
+        # oracle (wall-clock / float sign buckets / trained quantizer).
     }
 
 
