@@ -354,14 +354,18 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synth media table → Arrow-batched stub decode (multimodal
-    plumbing e2e; the fake header makes the decode SQL-statable)."""
-    media = multimodal.synth_media(_docs(spark, sf_dir))
+    """Mixed-format media table → Arrow-batched header decode. Two of
+    the three formats are REAL byte layouts (PNG IHDR, GIF logical
+    screen descriptor) parsed by the real header walkers; dimensions
+    and byte counts are doc_id arithmetic, so the oracle states them."""
+    media = multimodal.synth_mixed_media(_docs(spark, sf_dir))
     return multimodal.decode_media(media)
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.synth_media(_docs(spark, sf_dir))
+    """JVM-side magic sniff over the mixed table: png/gif payloads hit
+    their real signatures, the fake format stays 'unknown'."""
+    media = multimodal.synth_mixed_media(_docs(spark, sf_dir))
     return multimodal.media_metadata(media).select("media_id", "n_bytes", "format")
 
 
@@ -897,18 +901,32 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                     (ORDER BY total_value DESC, user_id ASC) AS rank FROM t)
             SELECT rank, user_id, total_value, n_events FROM r WHERE rank <= 10
         """,
+        # doc_id % 3 routes fakeimg/png/gif; header byte budgets are
+        # 12/33/13 (see synth_mixed_media) and dimensions are the same
+        # modular arithmetic in all three formats
         "media_decode": """
-            SELECT doc_id AS media_id, 'fakeimg' AS format,
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'fakeimg'
+                                   WHEN 1 THEN 'png'
+                                   ELSE 'gif' END AS format,
                    CAST(doc_id % 64 + 1 AS INTEGER) AS width,
                    CAST(doc_id % 48 + 1 AS INTEGER) AS height,
-                   CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 12
+                                        WHEN 1 THEN 33
+                                        ELSE 13 END
+                        + octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    true AS ok
             FROM documents
         """,
         "media_meta": """
             SELECT doc_id AS media_id,
-                   CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   'unknown' AS format
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 12
+                                        WHEN 1 THEN 33
+                                        ELSE 13 END
+                        + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CASE doc_id % 3 WHEN 0 THEN 'unknown'
+                                   WHEN 1 THEN 'png'
+                                   ELSE 'gif' END AS format
             FROM documents
         """,
         "pipeline_dedup": f"""

@@ -255,6 +255,38 @@ def test_magic_sniffing(spark):
     assert fmts == {1: "png", 2: "jpeg", 3: "unknown"}
 
 
+def test_mixed_media_real_headers(spark, docs):
+    """synth_mixed_media builds REAL png/gif byte layouts: the Python
+    header walkers and the JVM magic sniff both agree with the doc_id
+    arithmetic for every format lane."""
+    media = multimodal.synth_mixed_media(docs)
+    dec = multimodal.decode_media(media)
+    expected_fmt = (
+        F.when(F.col("media_id") % 3 == 0, "fakeimg")
+        .when(F.col("media_id") % 3 == 1, "png")
+        .otherwise("gif")
+    )
+    bad = dec.filter(
+        (~F.col("ok"))
+        | (F.col("format") != expected_fmt)
+        | (F.col("width") != (F.col("media_id") % 64 + 1).cast("int"))
+        | (F.col("height") != (F.col("media_id") % 48 + 1).cast("int"))
+    ).count()
+    assert bad == 0
+    # JVM-side magic sniff sees the real signatures (fake → unknown)
+    sniff_fmt = (
+        F.when(F.col("media_id") % 3 == 0, "unknown")
+        .when(F.col("media_id") % 3 == 1, "png")
+        .otherwise("gif")
+    )
+    meta = multimodal.media_metadata(media)
+    assert meta.filter(F.col("format") != sniff_fmt).count() == 0
+    # one local sanity pass through the pure-Python parser
+    row = media.filter(F.col("media_id") % 3 == 1).first()
+    fmt, w, h, ok = multimodal.parse_image_header(bytes(row.payload))
+    assert (fmt, ok) == ("png", True) and w == row.media_id % 64 + 1
+
+
 def test_explode_pages_fanout(spark, docs):
     media = multimodal.synth_paged_media(docs)
     pages = multimodal.explode_pages(media)

@@ -233,6 +233,61 @@ def synth_paged_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_mixed_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table cycling REAL formats: doc_id % 3
+    routes to the fake ``IMG!`` format, a real PNG (signature + IHDR
+    chunk — the exact byte layout :func:`_parse_png` reads), or a real
+    GIF (GIF89a + little-endian logical screen descriptor). All pure
+    JVM byte-building (concat/unhex/lpad over binary) and all header
+    fields integer arithmetic on doc_id — so the REAL parser paths are
+    exercised by an oracle-statable driver query, not just pytest.
+
+    Byte budgets (header + utf-8 text): fakeimg 12, png 33 (8 sig + 25
+    IHDR chunk), gif 13 (6 sig + 7 LSD). Width/height stay < 256 so
+    the GIF little-endian low byte is the value and the high byte 0.
+    """
+    doc_id = F.col("doc_id")
+    w = (doc_id % 64 + 1).cast("int")
+    h = (doc_id % 48 + 1).cast("int")
+    text_bytes = F.encode(F.col("text"), "UTF-8")
+
+    def be4(c):  # 4-byte big-endian
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def le2(c):  # 2-byte little-endian for values < 256: low byte + 0x00
+        return F.concat(F.unhex(F.lpad(F.hex(c), 2, "0")), F.lit(b"\x00"))
+
+    fake = F.concat(F.lit(b"IMG!"), be4(w), be4(h), text_bytes)
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),          # 8-byte signature
+        F.lit(b"\x00\x00\x00\x0dIHDR"),        # IHDR length + type
+        be4(w), be4(h),
+        F.lit(b"\x08\x02\x00\x00\x00"),        # depth 8, truecolor, 0,0,0
+        F.lit(b"\x00\x00\x00\x00"),            # CRC (not validated)
+        text_bytes,
+    )
+    gif = F.concat(
+        F.lit(b"GIF89a"), le2(w), le2(h),
+        F.lit(b"\x91\x00\x00"),                # packed, bg color, aspect
+        text_bytes,
+    )
+    payload = (
+        F.when(doc_id % 3 == 0, fake)
+        .when(doc_id % 3 == 1, png)
+        .otherwise(gif)
+    )
+    mime = (
+        F.when(doc_id % 3 == 0, F.lit("application/x-fakeimg"))
+        .when(doc_id % 3 == 1, F.lit("image/png"))
+        .otherwise(F.lit("image/gif"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        mime.alias("mime"),
+    )
+
+
 def synth_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media table derived from documents: payload =
     fake-image header + text bytes. Pure built-ins (concat over binary)."""
