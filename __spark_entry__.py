@@ -281,21 +281,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed self-join
-    (similarity.embedding_near_dup_pairs). The synthetic embeddings
-    have no planted near-dups, so the query unions the corpus with
-    scaled copies of vec_id<50 (same direction → same sign-sketch
-    bucket, cosine ≈ 1) under ids offset by 10^6. Rows-only: float
-    sign buckets are not SQL-portable."""
+    """Embedding-cosine near-dup pairs — the BANDED scale path
+    (similarity.embedding_near_dup_pairs, n_planes=9 / n_bands=3):
+    candidates come from simhash-style band equi-joins over a sketch
+    wide enough to keep buckets selective, so recall survives the
+    plane count a 10^12 corpus needs. The synthetic embeddings have no
+    planted near-dups, so the query unions the corpus with scaled
+    copies of vec_id<50 (same direction → identical sketch, cosine
+    ≈ 1) under ids offset by 10^6. Rows-only: float sign buckets are
+    not SQL-portable."""
     emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(dup)
-    return similarity.embedding_near_dup_pairs(corpus, EMB_DIM, 0.95).select(
-        "vec_a", "vec_b"
-    )
+    return similarity.embedding_near_dup_pairs(
+        corpus, EMB_DIM, 0.95, n_planes=9, n_bands=3
+    ).select("vec_a", "vec_b")
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

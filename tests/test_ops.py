@@ -158,6 +158,77 @@ def test_embedding_near_dup_pairs_planted(spark):
     assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(1, 2)}
 
 
+def _rand_emb(spark, n, dim, seed=0):
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    vecs = rs.standard_normal((n, dim))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_near_dup_planes_scale_linearly(spark):
+    """The scale contract: planes derived from corpus size keep the
+    bucketed self-join's candidate count ~linear in n. 4× corpus with
+    planes_for_corpus → candidate ratio ~4 (quadratic would be 16)."""
+    dim, target = 16, 64
+    counts = {}
+    for n in (600, 2400):
+        df = _rand_emb(spark, n, dim)
+        p = similarity.planes_for_corpus(n, target)
+        # threshold=-1 keeps every candidate → counts the join output
+        counts[n] = similarity.embedding_near_dup_pairs(
+            df, dim, threshold=-1.0, n_planes=p
+        ).count()
+    assert similarity.planes_for_corpus(2400, target) > \
+        similarity.planes_for_corpus(600, target)
+    ratio = counts[2400] / max(counts[600], 1)
+    assert ratio < 8, f"candidate growth {ratio} looks quadratic"
+    # and the catalog-stat default path derives the same width
+    assert similarity.planes_for_corpus(10**12) == 32
+
+
+def test_banded_near_dup_recall_survives_wide_sketch(spark):
+    """Banding the sketch (simhash-style) keeps recall as planes grow:
+    every pair the monolithic bucket finds is still found, and noisy
+    planted dups that straddle 1-2 hyperplanes come back too."""
+    import numpy as np
+
+    dim, n, n_dups = 16, 200, 40
+    rs = np.random.RandomState(7)
+    base = rs.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    # noisy copies of vec 0..39: cosine ~0.96-0.99, a few sign flips
+    for i in range(n_dups):
+        noisy = base[i] + 0.18 * rs.standard_normal(dim)
+        rows.append((1000 + i, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def found(pairs_df):
+        return {
+            (r.vec_a, r.vec_b)
+            for r in pairs_df.collect()
+            if r.vec_b >= 1000 and r.vec_a == r.vec_b - 1000
+        }
+
+    mono = found(
+        similarity.embedding_near_dup_pairs(
+            df, dim, threshold=0.9, n_planes=12, n_bands=1
+        )
+    )
+    banded = found(
+        similarity.embedding_near_dup_pairs(
+            df, dim, threshold=0.9, n_planes=12, n_bands=3
+        )
+    )
+    assert banded >= mono
+    assert len(banded) >= 0.9 * n_dups
+    with pytest.raises(ValueError):
+        similarity.embedding_near_dup_pairs(df, dim, n_planes=10, n_bands=3)
+
+
 # -- textstats --------------------------------------------------------------
 
 def test_token_stats_known_values(spark):

@@ -25,9 +25,27 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 6           # sign bits in the LSH sketch (2^6 buckets; at
-                       # 10^12 scale raise this so bucket ≈ task size)
+N_PLANES = 6           # default sign bits in the LSH sketch (2^6
+                       # buckets — small-corpus default; at scale pass
+                       # n_planes via planes_for_corpus instead)
 PLANE_SEED = 42        # frozen hyperplane seed
+TARGET_BUCKET = 256    # default expected vectors per sketch bucket
+
+
+def planes_for_corpus(
+    expected_n: int, target_bucket: int = TARGET_BUCKET
+) -> int:
+    """Derive the sketch width from the EXPECTED corpus size (a catalog
+    stat the caller already has — never a runtime ``count()`` pass):
+    enough planes that the mean bucket holds ~``target_bucket``
+    vectors, so the bucketed self-join does ~n·target_bucket/2 pair
+    work — linear in n — instead of n²/2^const. 10^12 vectors at the
+    default target is 32 planes; tiny corpora floor at 1 plane."""
+    import math
+
+    if expected_n <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(expected_n / target_bucket)))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -102,11 +120,14 @@ def _planes(dim: int, n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> np.nd
     return rs.standard_normal((n_planes, dim))
 
 
-def lsh_sketch(emb: DataFrame, dim: int, col: str = "embedding") -> DataFrame:
+def lsh_sketch(
+    emb: DataFrame, dim: int, col: str = "embedding", n_planes: int = N_PLANES
+) -> DataFrame:
     """Sign-bit sketch: bit p = [plane_p · v > 0]. The planes enter the
     plan as literal arrays (broadcast by value); the sketch is one
-    integer per vector — the ANN bucket key at scale."""
-    planes = _planes(dim)
+    integer per vector — the ANN bucket key at scale. ``n_planes``
+    scales with the corpus (see :func:`planes_for_corpus`)."""
+    planes = _planes(dim, n_planes)
     sketch = None
     for p in range(planes.shape[0]):
         lit = F.array(*[F.lit(float(x)) for x in planes[p]])
@@ -130,7 +151,12 @@ def _probe_masks(n_planes: int = N_PLANES, radius: int = 2) -> list[int]:
 
 
 def ann_lsh_topk(
-    emb: DataFrame, dim: int, k: int = 5, n_queries: int = 10, radius: int = 2
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_queries: int = 10,
+    radius: int = 2,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Multi-probe LSH ANN: each query probes every bucket within
     Hamming ``radius`` of its own sign-bit sketch (sign-LSH loses near
@@ -141,11 +167,14 @@ def ann_lsh_topk(
     At 10^12 scale the bucket join replaces the full scan: the corpus
     is hash-partitioned by sketch once (write-time bucketing in
     production) and the probe set is an equi-join on the sketch key.
-    Recall vs :func:`cosine_topk` is measured in tests. Returns
+    ``n_planes`` scales with the corpus (:func:`planes_for_corpus`);
+    probe count grows only quadratically in planes (1 + p + p(p-1)/2
+    at radius 2), so wider sketches stay affordable. Recall vs
+    :func:`cosine_topk` is measured in tests. Returns
     (query_id, rank, neighbor_id, sim).
     """
-    sk = lsh_sketch(with_norm(emb), dim)
-    masks = F.array(*[F.lit(m) for m in _probe_masks(N_PLANES, radius)])
+    sk = lsh_sketch(with_norm(emb), dim, n_planes=n_planes)
+    masks = F.array(*[F.lit(m) for m in _probe_masks(n_planes, radius)])
     q = F.broadcast(
         sk.filter(F.col("vec_id") < n_queries)
         .select(
@@ -288,30 +317,109 @@ def ivf_topk(
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, dim: int, threshold: float = 0.95
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    n_bands: int = 1,
+    expected_n: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed and
+    (optionally) BANDED so recall survives wide sketches.
 
-    Self-join within sketch buckets only (equi-join on the sketch), then
-    the cosine threshold. The 100 TB story: bucket cardinality 2^planes
-    keeps each bucket's pair count quadratic-in-bucket, linear overall.
+    Scale story: pair work inside a bucket is quadratic in bucket size,
+    so the plane count must GROW with the corpus to stay linear overall
+    — pass ``expected_n`` (a catalog stat, no runtime count) and the
+    width comes from :func:`planes_for_corpus`; or pass ``n_planes``
+    directly. But more planes also means a true near-pair straddles
+    more hyperplanes: with one monolithic bucket key, recall decays as
+    planes grow. ``n_bands > 1`` is the simhash-style fix: split the
+    sketch into bands of ``n_planes / n_bands`` bits and take as
+    candidates every pair agreeing on ≥1 FULL band (still equi-joins,
+    on (band_id, band_bits)) — pairs differing in fewer than
+    ``n_bands`` sketch bits are guaranteed candidates by pigeonhole,
+    and each band key stays selective (2^(planes/bands) buckets).
+    The exact cosine filter then removes false candidates, so banding
+    only ever ADDS recall, never wrong pairs.
+
+    ``n_bands=1`` is the plain single-bucket join (the small-corpus
+    default). Requires ``n_planes % n_bands == 0``.
     """
-    sk = lsh_sketch(with_norm(emb), dim)
-    a = sk.alias("a")
-    b = sk.alias("b")
-    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.sketch") == F.col("b.sketch"))
+    if n_planes is None:
+        n_planes = (
+            planes_for_corpus(expected_n) if expected_n is not None else N_PLANES
+        )
+    if n_planes % n_bands != 0:
+        raise ValueError(
+            f"n_planes={n_planes} must be divisible by n_bands={n_bands}"
+        )
+    r = n_planes // n_bands
+    sk = lsh_sketch(with_norm(emb), dim, n_planes=n_planes)
+    if n_bands == 1:
+        # single bucket key: one self-join carrying the vectors along
+        a = sk.alias("a")
+        b = sk.alias("b")
+        sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.norm") * F.col("b.norm")
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.sketch") == F.col("b.sketch"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(sim, 6).alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
+        )
+    # banded: the candidate join shuffles only (vec_id, band_id, bits)
+    # rows — 16 bytes, not embedding arrays (the simhash-pairs shape);
+    # vectors join back once per side for the exact cosine filter.
+    # Sketches feed three branches (band join both sides + both vector
+    # lookups): compute them once.
+    sk = sk.localCheckpoint(eager=False)
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("sketch"), b * r)
+            .bitwiseAND(F.lit((1 << r) - 1))
+            .alias("bv"),
+        )
+        for b in range(n_bands)
+    ]
+    bt = sk.select(
+        "vec_id", F.explode(F.array(*band_rows)).alias("band")
+    ).select("vec_id", "band.band_id", "band.bv")
+    cand = (
+        bt.alias("a")
+        .join(
+            bt.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("sim"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = sk.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = sk.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
