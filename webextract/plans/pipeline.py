@@ -9,18 +9,24 @@ has NO failure recovery) — ours is resumable and idempotent:
  * buckets are processed in WAVES (one Spark job per wave, each wave a
    group of buckets) writing ``output/pages/bucket=K/`` partitions plus
    a lineage partition per wave;
- * after a wave commits, its bucket ids are appended to the MANIFEST
-   (a json file per wave — atomic rename, no read-modify-write);
- * resume = read manifest, skip done buckets, reprocess the rest.
-   A half-written wave is safely overwritten (dynamic partition
-   overwrite) because its buckets were never manifested.
+ * a wave COMMITS by appending one snapshot to the SNAPSHOT LOG
+   (``plans/snapshots.py`` — atomic append, parent-chained snapshot
+   ids, per-snapshot data-file manifest: Iceberg commit semantics,
+   executable without the Iceberg jar this sandbox cannot have); a
+   human-readable wave manifest mirrors each commit;
+ * resume = VALIDATE the snapshot chain (gaps / broken parents /
+   double-committed buckets raise), skip committed buckets, reprocess
+   the rest. A half-written wave is safely overwritten (dynamic
+   partition overwrite) because its snapshot was never appended — and
+   snapshot readers (``SnapshotLog.read_as_of``) never see its files
+   at all, because scans plan from the log, not directory listing.
 
-On an Iceberg catalog the same protocol rides on snapshots: each wave
-is one ``writeTo(...).append()`` and the manifest records
-``(bucket_ids, snapshot_id)``; resume validates against the table's
-snapshot log. The sandbox has no Iceberg runtime jar, so
-:func:`iceberg_available` gates that path; the parquet path below is
-the complete, tested fallback with identical semantics.
+When an Iceberg catalog IS on the classpath, the same protocol rides
+the real table format: :func:`run_extraction_iceberg` appends each
+wave with ``writeTo(...).append()`` and records Iceberg's OWN
+snapshot id in the log (:func:`iceberg_available` gates it; it has
+never executed here — the jar does not exist in the sandbox — but the
+commit/resume logic it shares with the parquet path is fully tested).
 
 The checkpoint unit mirrors the reference's resumable training
 checkpoints (tools/program.py:218-224, load via tools/train.py:174).
@@ -28,6 +34,7 @@ checkpoints (tools/program.py:218-224, load via tools/train.py:174).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -39,6 +46,7 @@ from pyspark.sql import functions as F
 
 from webextract.config import DEFAULT_CONFIG, ExtractConfig
 from webextract.operators.extract import extract_pages_with_lineage, split_lineage
+from webextract.plans.snapshots import SnapshotLog
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -65,27 +73,44 @@ def _manifest_dir(cfg: JobConfig) -> str:
 
 
 def done_buckets(cfg: JobConfig) -> set[int]:
-    """Buckets already committed (union of all wave manifests)."""
+    """Buckets already committed: the VALIDATED snapshot chain (a
+    corrupt chain raises rather than resuming wrong), unioned with the
+    legacy wave manifests so outputs from before the snapshot log
+    still resume."""
+    done = SnapshotLog(cfg.output_dir).buckets_as_of()
     d = _manifest_dir(cfg)
-    done: set[int] = set()
-    if not os.path.isdir(d):
-        return done
-    for name in os.listdir(d):
-        if name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
-                done.update(json.load(f)["buckets"])
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    done.update(json.load(f)["buckets"])
     return done
 
 
-def _commit_wave(cfg: JobConfig, buckets: list[int], stats: dict) -> None:
-    """Atomic manifest append: write tmp file, rename into place."""
+def _wave_files(out_pages: str, buckets: list[int]) -> list[str]:
+    """Data files a wave just wrote (its snapshot's file manifest)."""
+    files: list[str] = []
+    for b in buckets:
+        files.extend(glob.glob(os.path.join(out_pages, f"bucket={b}", "*.parquet")))
+    return files
+
+
+def _commit_wave(
+    cfg: JobConfig, buckets: list[int], files: list[str], stats: dict
+) -> dict:
+    """THE wave commit: append one snapshot (atomic), then mirror a
+    human-readable wave manifest carrying the snapshot id. A crash
+    before the snapshot append leaves the wave uncommitted (rerun +
+    dynamic overwrite); a crash after it is a completed commit."""
+    rec = SnapshotLog(cfg.output_dir).append(buckets, files, **stats)
     d = _manifest_dir(cfg)
     os.makedirs(d, exist_ok=True)
-    payload = {"buckets": buckets, **stats}
+    payload = {"buckets": buckets, "snapshot_id": rec["snapshot_id"], **stats}
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(payload, f)
     os.replace(tmp, os.path.join(d, f"wave-{min(buckets):05d}.json"))
+    return rec
 
 
 def run_extraction(
@@ -150,9 +175,83 @@ def run_extraction(
         _commit_wave(
             cfg,
             wave,
+            _wave_files(out_pages, wave),
             {"urls": n_urls, "sec": round(time.perf_counter() - t0, 3)},
         )
         total["waves"] += 1
         total["buckets_done"] += len(wave)
         total["urls"] += n_urls
+    return total
+
+
+def run_extraction_iceberg(
+    spark: SparkSession, pages: DataFrame, cfg: JobConfig, table: str
+) -> dict:
+    """The Iceberg-catalog variant of :func:`run_extraction`: identical
+    wave/bucket protocol, but each wave commits with
+    ``writeTo(table).append()`` (one Iceberg snapshot per wave) and the
+    snapshot log records Iceberg's OWN snapshot id, read back from
+    ``<table>.snapshots``. Resume still plans from the validated log
+    and cross-checks that every recorded snapshot id exists in the
+    table's snapshot history — a dropped/rolled-back table raises
+    instead of resuming against missing data.
+
+    GATED: requires the Iceberg Spark runtime on the classpath
+    (:func:`iceberg_available`); this sandbox has no jar and no way to
+    install one, so this path is untested here by construction — the
+    commit/resume machinery around it is the tested code above.
+    """
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; use run_extraction "
+            "(parquet + snapshot log) instead"
+        )
+    log = SnapshotLog(cfg.output_dir)
+    done = log.buckets_as_of()
+    # snapshot-validated resume: every committed wave's Iceberg
+    # snapshot must still exist in the table history
+    known = {
+        r["snapshot_id"]
+        for r in spark.sql(f"SELECT snapshot_id FROM {table}.snapshots").collect()
+    }
+    for rec in log.entries():
+        if rec.get("iceberg_snapshot_id") not in known:
+            raise RuntimeError(
+                f"snapshot {rec.get('iceberg_snapshot_id')} in the log is "
+                f"missing from {table}.snapshots — table was rewritten; "
+                "restart from a clean output_dir"
+            )
+    bucket = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
+    bucketed = pages.withColumn("bucket", bucket)
+    todo = sorted(set(range(cfg.n_buckets)) - done)
+    waves = [
+        todo[i : i + cfg.wave_size] for i in range(0, len(todo), cfg.wave_size)
+    ]
+    total = {"waves": 0, "buckets_done": len(done), "urls": 0}
+    for wave in waves:
+        t0 = time.perf_counter()
+        wave_pages = bucketed.filter(F.col("bucket").isin(wave))
+        uni = extract_pages_with_lineage(
+            wave_pages.repartition(len(wave), "bucket").select(
+                "url", "html", "bucket"
+            ),
+            cfg.extract,
+        )
+        extracted, _ = split_lineage(uni)
+        extracted.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int"),
+        ).writeTo(table).append()
+        snap = spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()[0]
+        log.append(
+            wave,
+            [],  # Iceberg owns the file manifest; the log keeps its id
+            iceberg_snapshot_id=snap,
+            sec=round(time.perf_counter() - t0, 3),
+        )
+        total["waves"] += 1
+        total["buckets_done"] += len(wave)
     return total

@@ -1,0 +1,148 @@
+"""Snapshot log: Iceberg-style commit semantics over plain parquet.
+
+The north rule's checkpoint contract is "resumable from checkpoint via
+Iceberg snapshot + processed-partition manifest" (reference analog:
+resumable training checkpoints, tools/program.py:218-224, loaded at
+tools/train.py:174-175). No Iceberg runtime jar can exist in this
+sandbox, so this module implements the SAME commit semantics directly,
+executably, on the filesystem the pipeline already writes:
+
+ * a commit is ONE atomic append of a snapshot record — readers never
+   see a half-commit (tmp file + ``os.replace``, the same primitive
+   Iceberg's HadoopCatalog uses for ``version-hint.text``);
+ * each snapshot carries a random ``snapshot_id``, its
+   ``parent_id``, a monotonically increasing ``seq``, the bucket ids
+   it commits, and the DATA FILE LIST those buckets produced (the
+   manifest-file role — readers plan scans from the log, not by
+   listing directories);
+ * the snapshot chain is VALIDATED on resume: sequence gaps, broken
+   parent links or a bucket committed twice all raise instead of
+   silently resuming from a corrupt log;
+ * time travel: ``read_as_of(spark, snapshot_id)`` reads exactly the
+   files committed up to that snapshot.
+
+When an Iceberg catalog IS on the classpath (``iceberg_available``),
+``webextract.plans.pipeline.run_extraction_iceberg`` rides the real
+table format and records Iceberg's own snapshot ids in this same log —
+the protocol is identical, only the commit primitive changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotLog:
+    """Append-only snapshot chain under ``<output_dir>/_snapshots``."""
+
+    def __init__(self, output_dir: str):
+        self.dir = os.path.join(output_dir, "_snapshots")
+
+    # -- commit ------------------------------------------------------------
+
+    def append(
+        self, buckets: list[int], files: list[str], **stats
+    ) -> dict:
+        """Commit one snapshot atomically; returns the record."""
+        cur = self.current()
+        rec = {
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": cur["snapshot_id"] if cur else None,
+            "seq": (cur["seq"] + 1) if cur else 0,
+            "buckets": sorted(buckets),
+            "files": sorted(files),
+            **stats,
+        }
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f".tmp-{rec['snapshot_id']}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(
+            tmp,
+            os.path.join(
+                self.dir, f"snap-{rec['seq']:05d}-{rec['snapshot_id']}.json"
+            ),
+        )
+        return rec
+
+    # -- read --------------------------------------------------------------
+
+    def entries(self) -> list[dict]:
+        """All snapshots ordered by sequence number."""
+        if not os.path.isdir(self.dir):
+            return []
+        recs = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    recs.append(json.load(f))
+        return sorted(recs, key=lambda r: r["seq"])
+
+    def current(self) -> dict | None:
+        recs = self.entries()
+        return recs[-1] if recs else None
+
+    def validate(self) -> list[dict]:
+        """Raise if the chain is corrupt; return the validated entries.
+
+        Checks: contiguous sequence numbers from 0, every parent link
+        matches the previous snapshot, no bucket committed twice (a
+        correct resume skips committed buckets, so a duplicate means
+        the log and the data diverged).
+        """
+        recs = self.entries()
+        seen_buckets: set[int] = set()
+        prev_id = None
+        for i, r in enumerate(recs):
+            if r["seq"] != i:
+                raise RuntimeError(
+                    f"snapshot log corrupt: seq {r['seq']} at position {i} "
+                    "(gap or reorder — restore the missing snapshot file)"
+                )
+            if r["parent_id"] != prev_id:
+                raise RuntimeError(
+                    f"snapshot log corrupt: snapshot {r['snapshot_id']} "
+                    f"parent {r['parent_id']} != previous {prev_id}"
+                )
+            dup = seen_buckets & set(r["buckets"])
+            if dup:
+                raise RuntimeError(
+                    f"snapshot log corrupt: buckets {sorted(dup)} committed "
+                    "twice (data/log divergence)"
+                )
+            seen_buckets.update(r["buckets"])
+            prev_id = r["snapshot_id"]
+        return recs
+
+    # -- derived views -----------------------------------------------------
+
+    def _as_of(self, snapshot_id: str | None) -> list[dict]:
+        recs = self.validate()
+        if snapshot_id is None:
+            return recs
+        for i, r in enumerate(recs):
+            if r["snapshot_id"] == snapshot_id:
+                return recs[: i + 1]
+        raise KeyError(f"unknown snapshot_id {snapshot_id!r}")
+
+    def buckets_as_of(self, snapshot_id: str | None = None) -> set[int]:
+        return {b for r in self._as_of(snapshot_id) for b in r["buckets"]}
+
+    def files_as_of(self, snapshot_id: str | None = None) -> list[str]:
+        return [f for r in self._as_of(snapshot_id) for f in r["files"]]
+
+    def read_as_of(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Time-travel scan: exactly the data files committed up to
+        ``snapshot_id`` (default: current). Planning comes from the
+        log, never from directory listing — half-written files of an
+        uncommitted wave are invisible, same as an Iceberg scan."""
+        files = self.files_as_of(snapshot_id)
+        if not files:
+            raise ValueError("no committed snapshots to read")
+        return spark.read.parquet(*files)
