@@ -42,8 +42,28 @@ EMB_DIM = 64
 # spark queries
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Spread a tiny single-file fixture table across the executor
+    cores before HEAVY per-row fan-out work (shingle/token explodes +
+    hash projections). A production-scale table scans as many splits
+    natively, so its downstream stages are already parallel; the
+    sandbox fixture is ONE parquet split (single row group — Spark
+    cannot range-split it), which would otherwise serialize those
+    projections into a single task. The shuffle moves only the small
+    raw rows (hash-keyed — the same url-skew defense as
+    salted_repartition on the pages side). Applied selectively: for
+    single-shuffle queries (exact dedup, textstats) the extra exchange
+    costs more than the parallelism buys at fixture scale."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.xxhash64(F.col(key)))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(_docs(spark, sf_dir), "doc_id")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,11 +196,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(_docs(spark, sf_dir))
+    return dedup.minhash_signatures(_docs_spread(spark, sf_dir))
 
 
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_pairs(_docs(spark, sf_dir))
+    return dedup.lsh_pairs(_docs_spread(spark, sf_dir))
 
 
 JACCARD_MAX_DF = 20  # hot-shingle cap (mirrored in the oracle CTE)
@@ -198,7 +218,7 @@ def q_dedup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     pairs = dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.0, max_df=JACCARD_MAX_DF
+        _docs_spread(spark, sf_dir), n=3, threshold=0.0, max_df=JACCARD_MAX_DF
     )
     order = [F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()]
     # distributed top-k first; the rank window sees only 100 rows
@@ -222,7 +242,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs → connected components → per-doc keeper decision (the
     production dedup unit: users delete clusters, not pairs). Oracle:
     DuckDB WITH RECURSIVE reachability over the same band pairs."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     return dedup.cluster_keeper(docs, dedup.lsh_pairs(docs))
 
 
@@ -231,27 +251,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit band columns — the join key layout of the banded Hamming
     dedup). A 16-bit signature saturates by pigeonhole at ≥10^6 docs;
     the demo-width variant survives as ``simhash16_demo`` only."""
-    return dedup.simhash64_bands(_docs(spark, sf_dir))
+    return dedup.simhash64_bands(_docs_spread(spark, sf_dir))
 
 
 def q_simhash16_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash (DEMO width — saturates at corpus scale; kept as
     the minimal oracle-transparent illustration of the bit-vote
     construction, never for production dedup)."""
-    return dedup.simhash_signatures(_docs(spark, sf_dir))
+    return dedup.simhash_signatures(_docs_spread(spark, sf_dir))
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs: banded candidate equi-join +
     exact Hamming ≤ 3 filter (bit_count is portable to DuckDB)."""
-    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir))
+    return dedup.simhash_near_dup_pairs(_docs_spread(spark, sf_dir))
 
 
 def q_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash dedup family end to end: 64-bit signatures → banded
     Hamming pairs → connected components → keeper decision (the same
     production shape as dedup_clusters, different similarity signal)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     pairs = dedup.simhash_near_dup_pairs(docs).select("doc_a", "doc_b")
     return dedup.cluster_keeper(docs, pairs)
 
@@ -282,22 +302,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — the BANDED scale path
-    (similarity.embedding_near_dup_pairs, n_planes=9 / n_bands=3):
-    candidates come from simhash-style band equi-joins over a sketch
-    wide enough to keep buckets selective, so recall survives the
-    plane count a 10^12 corpus needs. The synthetic embeddings have no
-    planted near-dups, so the query unions the corpus with scaled
-    copies of vec_id<50 (same direction → identical sketch, cosine
-    ≈ 1) under ids offset by 10^6. Rows-only: float sign buckets are
-    not SQL-portable."""
+    (similarity.embedding_near_dup_pairs): candidates come from
+    simhash-style band equi-joins; the sketch width comes from
+    bands_for_corpus so EACH BAND stays selective for the expected
+    corpus size (each band is the effective join key — recall survives
+    the width a 10^12 corpus needs while the candidate join stays
+    ~linear). The synthetic embeddings have no planted near-dups, so
+    the query unions the corpus with scaled copies of vec_id<50 (same
+    direction → identical sketch, cosine ≈ 1) under ids offset by
+    10^6. Rows-only: float sign buckets are not SQL-portable."""
     emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    # expected_n from the testdata layout (embeddings = 20000×sf + the
+    # 50 planted dups) — a catalog stat, deliberately NOT a count()
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    expected = int(20_000 * sf) + 50
     return similarity.embedding_near_dup_pairs(
-        corpus, EMB_DIM, 0.95, n_planes=9, n_bands=3
+        corpus, EMB_DIM, 0.95, n_bands=3,
+        expected_n=expected,
     ).select("vec_a", "vec_b")
 
 

@@ -71,6 +71,7 @@ def main() -> None:
     qs = entrymod.queries()
     headline = [
         "tables",
+        "layout_regions",
         "dedup_exact",
         "dedup_minhash",
         "dedup_lsh_pairs",

@@ -15,7 +15,12 @@ from webextract.sources.pages import pages_from_documents
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(df) -> str:
+def plan_of(df, execute: bool = False) -> str:
+    # execute=True materializes first so AQE's FINAL plan (with its
+    # whole-stage-codegen stars) is inspected instead of the
+    # isFinalPlan=false placeholder an un-run adaptive plan prints
+    if execute:
+        df.write.format("noop").mode("overwrite").save()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -68,7 +73,7 @@ def test_global_topk_is_distributed(spark):
 
 def test_whole_stage_codegen_in_jvm_paths(spark):
     # text stats never leave the JVM: one codegen stage, no Python node
-    plan = plan_of(entrymod.q_token_stats(spark, SF))
+    plan = plan_of(entrymod.q_token_stats(spark, SF), execute=True)
     assert "*(1)" in plan  # whole-stage-codegen stage marker
     assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan
 

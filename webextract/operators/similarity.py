@@ -22,6 +22,7 @@ Scale design:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +47,24 @@ def planes_for_corpus(
     if expected_n <= target_bucket:
         return 1
     return max(1, math.ceil(math.log2(expected_n / target_bucket)))
+
+
+def bands_for_corpus(
+    expected_n: int, n_bands: int = 3, target_bucket: int = 16
+) -> int:
+    """Sketch width for the BANDED near-dup join. Each band is the
+    effective join key, so selectivity must hold PER BAND: each band
+    gets ~log2(n/target_bucket) bits and the total width is
+    ``n_bands ×`` that. (Sizing the whole sketch with
+    :func:`planes_for_corpus` and splitting it would leave every band
+    2^bands× too coarse — the candidate join degenerates toward n².)
+
+    The default ``target_bucket`` is far smaller than the ANN probing
+    default: a SELF-join pays ~bucket²/2 pairs per bucket, i.e.
+    ~n·target/2 candidate pairs per band overall, so the target IS the
+    per-vector candidate budget (16 → ~24 exact-cosine checks per
+    vector at 3 bands), not a scan batch size."""
+    return n_bands * planes_for_corpus(expected_n, target_bucket)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -123,17 +142,33 @@ def _planes(dim: int, n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> np.nd
 def lsh_sketch(
     emb: DataFrame, dim: int, col: str = "embedding", n_planes: int = N_PLANES
 ) -> DataFrame:
-    """Sign-bit sketch: bit p = [plane_p · v > 0]. The planes enter the
-    plan as literal arrays (broadcast by value); the sketch is one
+    """Sign-bit sketch: bit p = [plane_p · v > 0]. The sketch is one
     integer per vector — the ANN bucket key at scale. ``n_planes``
-    scales with the corpus (see :func:`planes_for_corpus`)."""
-    planes = _planes(dim, n_planes)
-    sketch = None
-    for p in range(planes.shape[0]):
-        lit = F.array(*[F.lit(float(x)) for x in planes[p]])
-        bit = F.when(_dot(F.col(col), lit) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sketch = bit if sketch is None else sketch + bit
-    return emb.withColumn("sketch", sketch.cast("int"))
+    scales with the corpus (see :func:`planes_for_corpus`).
+
+    Implementation: ONE vectorized Arrow-batch matmul (a Pandas UDF —
+    the planes matrix rides in the closure, the batch of vectors hits
+    BLAS once: ``(batch × dim) @ (dim × planes)``). The previous
+    all-built-ins formulation (one ``aggregate``/``zip_with`` chain
+    per plane) LOOKS like the fast path but is not: at 24+ planes the
+    generated expression tree blows past the JIT method limit, falls
+    back to interpreted evaluation, and costs ~100× the matmul. This
+    is exactly the "vectorized Pandas UDF over per-row built-ins" case
+    SURVEY §2.10 budgets for."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = _planes(dim, n_planes).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("integer")
+    def sk(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        mat = np.array(v.tolist(), dtype=np.float64)
+        bits = (mat @ planes_t) > 0
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return emb.withColumn("sketch", sk(F.col(col)))
 
 
 def _probe_masks(n_planes: int = N_PLANES, radius: int = 2) -> list[int]:
@@ -346,9 +381,12 @@ def embedding_near_dup_pairs(
     default). Requires ``n_planes % n_bands == 0``.
     """
     if n_planes is None:
-        n_planes = (
-            planes_for_corpus(expected_n) if expected_n is not None else N_PLANES
-        )
+        if expected_n is None:
+            n_planes = N_PLANES
+        elif n_bands > 1:
+            n_planes = bands_for_corpus(expected_n, n_bands)
+        else:
+            n_planes = planes_for_corpus(expected_n)
     if n_planes % n_bands != 0:
         raise ValueError(
             f"n_planes={n_planes} must be divisible by n_bands={n_bands}"
