@@ -370,6 +370,39 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line fraction +
+    most-common-bigram mass per doc (the classic LLM training-data
+    quality gates). Spread input: the bigram explode is the heavy
+    stage."""
+    return textstats.repetition_stats(_docs_spread(spark, sf_dir))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with planted ground truth: every doc gets a
+    deterministic email + phone appended, and the oracle states the
+    REDACTED text directly (ground truth, not a regex
+    re-implementation) — the scrubber must find exactly the planted
+    tokens and nothing else."""
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    email = F.concat(F.lit("user"), doc_id.cast("string"), F.lit("@mail.example"))
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" Contact "), email, F.lit(" or "),
+            phone, F.lit(" now"),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(planted)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.hourly_rollup(_events(spark, sf_dir))
 
@@ -502,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
+        "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_top_users": q_events_top_users,
@@ -893,6 +928,47 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                               lower(regexp_replace(text, '\s+', ' ', 'g')) AS canon
                        FROM documents)
             SELECT doc_id, md5(canon) AS fp, length(canon) AS canon_len FROM c
+        """,
+        "repetition": """
+            WITH ls AS (
+              SELECT doc_id,
+                     len(string_split(text, '. ')) AS n_lines,
+                     len(string_split(text, '. '))
+                       - len(list_distinct(string_split(text, '. ')))
+                       AS n_dup_lines
+              FROM documents),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(len(t) - 1),
+                                i -> t[i+1] || ' ' || t[i+2])) AS bigram
+                  FROM toks WHERE len(t) >= 2),
+            pg AS (SELECT doc_id, bigram, COUNT(*) AS cnt
+                   FROM g GROUP BY doc_id, bigram),
+            gs AS (SELECT doc_id,
+                          CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                          CAST(MAX(cnt) AS BIGINT) AS max_bigram_cnt
+                   FROM pg GROUP BY doc_id)
+            SELECT ls.doc_id, ls.n_lines, ls.n_dup_lines,
+                   CAST(ls.n_dup_lines AS DOUBLE)
+                     / CAST(ls.n_lines AS DOUBLE) AS dup_line_frac,
+                   COALESCE(gs.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(gs.max_bigram_cnt, 0) AS max_bigram_cnt,
+                   CASE WHEN gs.n_bigrams IS NOT NULL
+                        THEN CAST(gs.max_bigram_cnt AS DOUBLE)
+                               / CAST(gs.n_bigrams AS DOUBLE)
+                   END AS top_bigram_frac
+            FROM ls LEFT JOIN gs USING (doc_id)
+        """,
+        # ground truth, not a regex re-statement: the planted email and
+        # phone are the ONLY matches, so the expected redaction is pure
+        # string construction
+        "redact_pii": """
+            SELECT doc_id,
+                   text || ' Contact <EMAIL> or <PHONE> now' AS clean_text,
+                   CAST(1 AS INTEGER) AS n_emails,
+                   CAST(1 AS INTEGER) AS n_phones
+            FROM documents
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

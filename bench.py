@@ -87,6 +87,8 @@ def main() -> None:
         "quality",
         "langid",
         "fingerprints",
+        "repetition",
+        "redact_pii",
         "events_hourly",
         "events_sessions",
         "media_decode",

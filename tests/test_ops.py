@@ -231,6 +231,46 @@ def test_banded_near_dup_recall_survives_wide_sketch(spark):
 
 # -- textstats --------------------------------------------------------------
 
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            # lines: [x, y, x] → 1 dup; bigrams of "a b a b a":
+            # "a b"×2, "b a"×2 → n=4, max=2
+            (1, "a b a b a. y y. a b a b a"),
+            (2, "unique words only here"),
+            (3, "x"),  # single token → no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    r = {row.doc_id: row for row in textstats.repetition_stats(df).collect()}
+    assert r[1].n_lines == 3 and r[1].n_dup_lines == 1
+    assert abs(r[1].dup_line_frac - 1 / 3) < 1e-12
+    assert r[2].n_dup_lines == 0 and r[2].max_bigram_cnt == 1
+    assert r[3].n_bigrams == 0 and r[3].top_bigram_frac is None
+    # doc 1 bigram side: lines count as tokens too ('a. y' etc. are
+    # whitespace tokens) — just pin the invariant max ≤ sum
+    assert r[1].max_bigram_cnt <= r[1].n_bigrams
+
+
+def test_redact_pii_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and call 555-123-4567 ok"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.io and 999-888-7777x not a phone end"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = {row.doc_id: row for row in textstats.redact_pii(df).collect()}
+    assert r[1].clean_text == "mail <EMAIL> and call <PHONE> ok"
+    assert (r[1].n_emails, r[1].n_phones) == (1, 1)
+    assert r[2].clean_text == "no pii here at all"
+    assert (r[2].n_emails, r[2].n_phones) == (0, 0)
+    assert r[3].n_emails == 2
+    # trailing char breaks the \b word boundary → not a phone
+    assert r[3].n_phones == 0 and "999-888-7777x" in r[3].clean_text
+
+
 def test_token_stats_known_values(spark):
     df = spark.createDataFrame([(1, "ab cd 12 x!")], ["doc_id", "text"])
     r = textstats.token_stats(df).first()

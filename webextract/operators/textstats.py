@@ -123,6 +123,89 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, sep: str = ". ") -> DataFrame:
+    """Gopher-style repetition signals per doc — the corpus-filter
+    rules ("fraction of duplicate lines", "fraction in the most common
+    n-gram") used to drop low-quality/boilerplate documents from LLM
+    training data.
+
+    Returns (doc_id, n_lines, n_dup_lines, dup_line_frac, n_bigrams,
+    max_bigram_cnt, top_bigram_frac). Scale shape: the line signals
+    are per-row array ops inside codegen (NO shuffle); the bigram mode
+    needs a per-(doc, bigram) count — one explode + two partial-agg
+    shuffles on (doc_id, bigram) then doc_id, exactly the word-count
+    shape that scales linearly. All fractions are single IEEE
+    divisions of exact ints (oracle bit-exact).
+    """
+    import re
+
+    lines = F.split(F.col("text"), re.escape(sep), -1)
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    line_side = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_dup_lines.alias("n_dup_lines"),
+        (n_dup_lines.cast("double") / n_lines.cast("double")).alias(
+            "dup_line_frac"
+        ),
+    )
+    toks = _toks()
+    grams = docs.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            )
+        ).alias("bigram"),
+    )
+    per_gram = grams.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    gram_side = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("max_bigram_cnt"),
+    )
+    return line_side.join(gram_side, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        "dup_line_frac",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("max_bigram_cnt", F.lit(0)).alias("max_bigram_cnt"),
+        F.when(
+            F.col("n_bigrams").isNotNull(),
+            F.col("max_bigram_cnt").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        ).alias("top_bigram_frac"),
+    )
+
+
+# Frozen PII patterns (public regex idioms; mirrored semantics are
+# pinned by a ground-truth oracle, not by re-stating the regex)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def redact_pii(docs: DataFrame, col: str = "text") -> DataFrame:
+    """PII scrub for training data: emails → ``<EMAIL>``, North-
+    American-style phone numbers → ``<PHONE>``, with per-doc match
+    counts for audit rollups. All codegen (``regexp_replace`` /
+    ``regexp_count``) — no Python in the path; at 100 TB this is a
+    map-only stage that fuses into the scan."""
+    c = F.col(col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+    return docs.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Canonical document fingerprint: md5 of the lowercased,
     whitespace-collapsed text (the golden-equality key, the analog of
