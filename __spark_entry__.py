@@ -438,6 +438,23 @@ def q_media_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.explode_pages(media)
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV header decode: spec-correct RIFF/WAVE payloads built
+    JVM-side, fields recovered by little-endian byte math in codegen.
+    The oracle states the planted channel/rate/duration arithmetic as
+    ground truth — the parser must recover it from the real bytes."""
+    media = multimodal.synth_wav(_docs(spark, sf_dir))
+    return multimodal.wav_metadata(media)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: header peek + every-10th-frame fan-out
+    with per-frame timestamps (the video analog of the PDF→pages
+    explode; the per-frame decode stage is codec-gated)."""
+    media = multimodal.synth_video(_docs(spark, sf_dir))
+    return multimodal.sample_frames(media, every_k=10)
+
+
 def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline: synthesize pages → extract
     main content → fingerprint the EXTRACTED text → exact-dedup survey.
@@ -543,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_meta": q_media_meta,
         "media_pages": q_media_pages,
+        "audio_meta": q_audio_meta,
+        "frame_sample": q_frame_sample,
         "union_sample": q_union_sample,
         "pipeline_dedup": q_pipeline_dedup,
         "pipeline_clean": q_pipeline_clean,
@@ -1058,6 +1077,31 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST(doc_id % 5 + 1 AS INTEGER) AS total_pages,
                    CAST(unnest(range(1, CAST(doc_id % 5 + 1 AS INTEGER) + 1)) AS INTEGER) AS page_no
             FROM documents
+        """,
+        # ground truth of the planted WAV fields; the Spark side must
+        # recover them from the real RIFF byte layout
+        "audio_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+                   CAST((doc_id % 6 + 1) * 8000 AS INTEGER) AS sample_rate,
+                   CAST(16 AS INTEGER) AS bits,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_data_bytes,
+                   CAST(octet_length(encode(text)) AS DOUBLE)
+                     / CAST((doc_id % 6 + 1) * 8000 * (doc_id % 2 + 1) * 2
+                            AS DOUBLE) AS duration_sec,
+                   true AS ok
+            FROM documents
+        """,
+        "frame_sample": """
+            WITH v AS (SELECT doc_id AS media_id,
+                              CAST(doc_id % 40 + 10 AS INTEGER) AS n_frames,
+                              CAST(doc_id % 2 * 5 + 25 AS INTEGER) AS fps
+                       FROM documents)
+            SELECT media_id, n_frames, fps,
+                   CAST(unnest(range(0, n_frames, 10)) AS INTEGER) AS frame_no,
+                   CAST(CAST(unnest(range(0, n_frames, 10)) AS INTEGER) AS DOUBLE)
+                     / CAST(fps AS DOUBLE) AS t_sec
+            FROM v
         """,
         "extract_eval": f"""
             WITH e AS (SELECT {_EXTRACTED} AS text FROM documents)

@@ -92,6 +92,8 @@ def main() -> None:
         "events_hourly",
         "events_sessions",
         "media_decode",
+        "audio_meta",
+        "frame_sample",
         "pipeline_clean",
         "pricing_summary",
         "orders_by_region",

@@ -398,6 +398,68 @@ def test_mixed_media_real_headers(spark, docs):
     assert (fmt, ok) == ("png", True) and w == row.media_id % 64 + 1
 
 
+def test_wav_metadata_vs_stdlib_writer(spark):
+    """Cross-validate the JVM-side RIFF byte math against an
+    INDEPENDENT implementation: payloads written by Python's stdlib
+    `wave` module must decode to the parameters it was given."""
+    import io
+    import wave
+
+    def wav_bytes(channels, rate, n_samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x01" * channels * n_samples)
+        return buf.getvalue()
+
+    rows = [
+        (1, wav_bytes(1, 8000, 4000)),
+        (2, wav_bytes(2, 44100, 44100)),
+        (3, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    r = {row.media_id: row for row in multimodal.wav_metadata(df).collect()}
+    assert (r[1].n_channels, r[1].sample_rate, r[1].bits) == (1, 8000, 16)
+    assert r[1].n_data_bytes == 2 * 4000 and abs(r[1].duration_sec - 0.5) < 1e-9
+    assert (r[2].n_channels, r[2].sample_rate) == (2, 44100)
+    assert abs(r[2].duration_sec - 1.0) < 1e-9
+    assert r[3].ok is False and r[3].sample_rate is None
+
+
+def test_synth_wav_roundtrip(spark, docs):
+    meta = multimodal.wav_metadata(multimodal.synth_wav(docs))
+    bad = meta.filter(
+        (~F.col("ok"))
+        | (F.col("n_channels") != (F.col("media_id") % 2 + 1).cast("int"))
+        | (F.col("sample_rate") != ((F.col("media_id") % 6 + 1) * 8000).cast("int"))
+        | (F.col("bits") != 16)
+    ).count()
+    assert bad == 0
+
+
+def test_frame_sampling(spark, docs):
+    frames = multimodal.sample_frames(multimodal.synth_video(docs), every_k=10)
+    # frame 0 always kept; all sampled frames in range and on stride
+    assert frames.filter(F.col("frame_no") % 10 != 0).count() == 0
+    assert frames.filter(
+        (F.col("frame_no") < 0) | (F.col("frame_no") >= F.col("n_frames"))
+    ).count() == 0
+    per_media = frames.groupBy("media_id", "n_frames").agg(
+        F.count("*").alias("n"), F.min("frame_no").alias("first")
+    )
+    assert per_media.filter(F.col("first") != 0).count() == 0
+    # ceil(n_frames / 10) samples per media
+    assert per_media.filter(
+        F.col("n") != F.floor((F.col("n_frames") - 1) / 10) + 1
+    ).count() == 0
+    # timestamps follow fps
+    assert frames.filter(
+        F.col("t_sec") != F.col("frame_no").cast("double") / F.col("fps").cast("double")
+    ).count() == 0
+
+
 def test_explode_pages_fanout(spark, docs):
     media = multimodal.synth_paged_media(docs)
     pages = multimodal.explode_pages(media)

@@ -233,6 +233,144 @@ def synth_paged_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _le_bytes(c, n: int):
+    """n-byte little-endian binary from an int column (codegen: per-byte
+    shift/mask → hex → unhex concat)."""
+    parts = [
+        F.unhex(
+            F.lpad(F.hex(F.shiftright(c.cast("long"), 8 * i).bitwiseAND(F.lit(0xFF))), 2, "0")
+        )
+        for i in range(n)
+    ]
+    return F.concat(*parts)
+
+
+def _byte_at(col, pos: int):
+    """Unsigned byte value at 1-indexed position of a binary column."""
+    return F.conv(F.hex(F.substring(col, pos, 1)), 16, 10).cast("long")
+
+
+def _le_at(col, pos: int, n: int):
+    """n-byte little-endian unsigned int at 1-indexed position."""
+    v = None
+    for i in range(n):
+        term = _byte_at(col, pos + i) * F.lit(1 << (8 * i))
+        v = term if v is None else v + term
+    return v
+
+
+def synth_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV payloads: a spec-correct RIFF/WAVE header
+    (fmt chunk with PCM audio format, doc_id-derived channel count /
+    sample rate / bit depth) followed by the doc text as stand-in
+    sample data. Pure JVM byte-building — every field is the public
+    RIFF byte layout, little-endian via :func:`_le_bytes`."""
+    doc_id = F.col("doc_id")
+    channels = (doc_id % 2 + 1).cast("int")           # 1..2
+    rate = ((doc_id % 6 + 1) * 8000).cast("int")      # 8k..48k
+    bits = F.lit(16)
+    data = F.encode(F.col("text"), "UTF-8")
+    data_len = F.length(data)
+    byte_rate = rate * channels * 2
+    block_align = channels * 2
+    payload = F.concat(
+        F.lit(b"RIFF"), _le_bytes(data_len + 36, 4), F.lit(b"WAVE"),
+        F.lit(b"fmt "), _le_bytes(F.lit(16), 4),
+        _le_bytes(F.lit(1), 2),            # PCM
+        _le_bytes(channels, 2),
+        _le_bytes(rate, 4),
+        _le_bytes(byte_rate, 4),
+        _le_bytes(block_align, 2),
+        _le_bytes(bits, 2),
+        F.lit(b"data"), _le_bytes(data_len, 4),
+        data,
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+
+
+def wav_metadata(media: DataFrame) -> DataFrame:
+    """REAL RIFF/WAVE header decode, 100% JVM-side: magic check +
+    little-endian field extraction with substring/hex/conv byte math —
+    no Python worker, fuses into the scan (the audio analog of the
+    PNG/JPEG/GIF image-header parsers). Returns (media_id, n_channels,
+    sample_rate, bits, n_data_bytes, duration_sec, ok); non-WAV rows
+    get ok=false with NULL fields."""
+    p = F.col("payload")
+    is_wav = (F.substring(p, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(p, 9, 4) == F.lit(b"WAVE")
+    ) & (F.length(p) >= 44)
+    channels = _le_at(p, 23, 2).cast("int")
+    rate = _le_at(p, 25, 4).cast("int")
+    bits = _le_at(p, 35, 2).cast("int")
+    data_len = _le_at(p, 41, 4)
+    # duration = data / (rate × channels × bytes-per-sample): one IEEE
+    # division of exact ints (oracle bit-exact)
+    duration = data_len.cast("double") / (
+        rate * channels * F.shiftright(bits, 3)
+    ).cast("double")
+    return media.select(
+        "media_id",
+        F.when(is_wav, channels).alias("n_channels"),
+        F.when(is_wav, rate).alias("sample_rate"),
+        F.when(is_wav, bits).alias("bits"),
+        F.when(is_wav, data_len).alias("n_data_bytes"),
+        F.when(is_wav, duration).alias("duration_sec"),
+        is_wav.alias("ok"),
+    )
+
+
+def synth_video(docs: DataFrame) -> DataFrame:
+    """Deterministic fake video containers: ``b"VID!" + n_frames(4 BE)
+    + fps(2 BE) + data``. The container format is synthetic (no real
+    video codec exists in this sandbox) but the plumbing — header peek,
+    frame fan-out, per-frame stage — is the real pattern."""
+    doc_id = F.col("doc_id")
+    n_frames = (doc_id % 40 + 10).cast("int")
+    fps = (doc_id % 2 * 5 + 25).cast("int")   # 25 or 30
+    payload = F.concat(
+        F.lit(b"VID!"),
+        F.unhex(F.lpad(F.hex(n_frames), 8, "0")),
+        F.unhex(F.lpad(F.hex(fps), 4, "0")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("video/x-fake").alias("mime"),
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Frame sampling for video columns: keep every k-th frame (frame 0
+    always included) plus the frame's timestamp from the container fps.
+    Header peek + ``explode(sequence(...))`` all JVM-side — the frame
+    DECODE would be the downstream Arrow stage (codec-gated, like
+    ``resize_media``); the sampling fan-out itself never leaves
+    codegen. At scale this is the video analog of ``explode_pages``:
+    cheap metadata peek → bounded fan-out → per-frame UDF."""
+    n_frames = F.conv(F.hex(F.substring(F.col("payload"), 5, 4)), 16, 10).cast("int")
+    fps = F.conv(F.hex(F.substring(F.col("payload"), 9, 2)), 16, 10).cast("int")
+    return (
+        media.filter(F.substring(F.col("payload"), 1, 4) == F.lit(b"VID!"))
+        .select(
+            "media_id",
+            n_frames.alias("n_frames"),
+            fps.alias("fps"),
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+            ).alias("frame_no"),
+        )
+        .withColumn(
+            "t_sec",
+            F.col("frame_no").cast("double") / F.col("fps").cast("double"),
+        )
+    )
+
+
 def synth_mixed_media(docs: DataFrame) -> DataFrame:
     """Deterministic media table cycling REAL formats: doc_id % 3
     routes to the fake ``IMG!`` format, a real PNG (signature + IHDR
