@@ -438,6 +438,38 @@ def q_media_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.explode_pages(media)
 
 
+def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (codegen regex over decoded html): the
+    link-bearing page source plants 3 absolute links per doc, so the
+    oracle states every (url, href) row."""
+    from webextract.operators.links import extract_links
+    from webextract.sources.pages import pages_with_links
+
+    return extract_links(pages_with_links(spark, sf_dir))
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: outlinks → weighted (src_host, dst_host)
+    edges — the word-count shape over the extracted links."""
+    from webextract.operators.links import extract_links, host_graph
+    from webextract.sources.pages import pages_with_links
+
+    return host_graph(extract_links(pages_with_links(spark, sf_dir)))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host graph, 5 synchronous
+    iterations as DataFrame joins. The oracle unrolls the same 5
+    iterations in SQL with the identical frozen arithmetic (per-edge
+    rank*weight/out_w in doubles, per-target DECIMAL(38,6) sums) —
+    bit-exact across engines."""
+    from webextract.operators.links import extract_links, host_graph, pagerank
+    from webextract.sources.pages import pages_with_links
+
+    edges = host_graph(extract_links(pages_with_links(spark, sf_dir)))
+    return pagerank(edges, n_iter=5)
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV header decode: spec-correct RIFF/WAVE payloads built
     JVM-side, fields recovered by little-endian byte math in codegen.
@@ -562,6 +594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pages": q_media_pages,
         "audio_meta": q_audio_meta,
         "frame_sample": q_frame_sample,
+        "links": q_links,
+        "host_graph": q_host_graph,
+        "pagerank": q_pagerank,
         "union_sample": q_union_sample,
         "pipeline_dedup": q_pipeline_dedup,
         "pipeline_clean": q_pipeline_clean,
@@ -1078,6 +1113,24 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST(unnest(range(1, CAST(doc_id % 5 + 1 AS INTEGER) + 1)) AS INTEGER) AS page_no
             FROM documents
         """,
+        "links": f"""
+            SELECT {_URL} AS url,
+                   'https://host' || CAST((doc_id*7+1) % 37 AS VARCHAR)
+                     || '.example/doc/' || CAST(doc_id + 1 AS VARCHAR) AS href
+            FROM documents
+            UNION ALL
+            SELECT {_URL},
+                   'https://host' || CAST((doc_id*13+2) % 37 AS VARCHAR)
+                     || '.example/doc/' || CAST(doc_id + 2 AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT {_URL},
+                   'https://host' || CAST({_HOST} AS VARCHAR)
+                     || '.example/doc/' || CAST(doc_id AS VARCHAR)
+            FROM documents
+        """,
+        "host_graph": f"WITH {_EDGES_CTE} SELECT src_host, dst_host, weight FROM ew",
+        "pagerank": _pagerank_sql(),
         # ground truth of the planted WAV fields; the Spark side must
         # recover them from the real RIFF byte layout
         "audio_meta": """
@@ -1133,6 +1186,54 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         # lineage, ann_lsh, ann_ivf, emb_near_dup: intentionally no
         # oracle (wall-clock / float sign buckets / trained quantizer).
     }
+
+
+_EDGES_CTE = f"""
+  e0 AS (
+    SELECT {_HOST} AS s, (doc_id*7+1) % 37 AS d FROM documents
+    UNION ALL SELECT {_HOST}, (doc_id*13+2) % 37 FROM documents
+    UNION ALL SELECT {_HOST}, {_HOST} FROM documents),
+  ew AS (SELECT 'host' || CAST(s AS VARCHAR) || '.example' AS src_host,
+                'host' || CAST(d AS VARCHAR) || '.example' AS dst_host,
+                COUNT(*) AS weight
+         FROM e0 GROUP BY 1, 2)"""
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank: the same frozen arithmetic
+    as operators/links.pagerank — float literals are repr'd from the
+    SAME Python doubles Spark uses (1-0.85 is 0.15000000000000002 in
+    IEEE; writing '0.15' would diverge), per-edge contribution is
+    rank*weight/out_w left-associative in doubles, per-target sums in
+    DECIMAL(38,6)."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+  r{k} AS (
+    SELECT n.host,
+           CAST({base} AS DOUBLE) / (SELECT cnt FROM nn)
+             + CAST({d} AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst_host AS host,
+             CAST(SUM(CAST(r.rank * e.weight / e.out_w AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s
+      FROM e JOIN r{k-1} r ON r.host = e.src_host
+      GROUP BY e.dst_host) s ON s.host = n.host)""")
+    return f"""
+WITH {_EDGES_CTE},
+  ow AS (SELECT src_host, CAST(SUM(weight) AS BIGINT) AS out_w
+         FROM ew GROUP BY src_host),
+  e AS (SELECT ew.src_host, ew.dst_host, ew.weight, ow.out_w
+        FROM ew JOIN ow USING (src_host)),
+  nodes AS (SELECT src_host AS host FROM ew
+            UNION SELECT dst_host FROM ew),
+  nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+  r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS rank
+         FROM nodes),{",".join(its)}
+SELECT host, rank FROM r{n_iter}
+"""
 
 
 def _langid_sql() -> str:

@@ -94,6 +94,8 @@ def main() -> None:
         "media_decode",
         "audio_meta",
         "frame_sample",
+        "host_graph",
+        "pagerank",
         "pipeline_clean",
         "pricing_summary",
         "orders_by_region",

@@ -175,6 +175,53 @@ def pages_with_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose article body carries deterministic CROSS-HOST
+    absolute links — the link-graph fixture. Each doc links to two
+    other hosts (``(doc_id*7+1) % 37`` and ``(doc_id*13+2) % 37``) and
+    one same-host doc, all in the frozen url scheme, so the outlink
+    set, the host graph and even a fixed-iteration PageRank over it
+    are statable in ANSI SQL from ``documents`` alone. A SEPARATE
+    source (like :func:`pages_with_tables`) so extraction goldens keep
+    their byte-identity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_id = F.col("doc_id")
+
+    def link_to(host_expr, target_doc):
+        return F.concat(
+            F.lit('<a href="https://host'),
+            host_expr.cast("string"),
+            F.lit(".example/doc/"),
+            target_doc.cast("string"),
+            F.lit('">ref</a> '),
+        )
+
+    body_links = F.concat(
+        link_to((doc_id * 7 + 1) % 37, doc_id + 1),
+        link_to((doc_id * 13 + 2) % 37, doc_id + 2),
+        link_to(page_host(doc_id), doc_id),
+    )
+    headline = F.concat(
+        F.lit("Document "), doc_id.cast("string"), F.lit(" from "), F.col("source")
+    )
+    html_str = F.concat(
+        F.lit(_TPL_HEAD),
+        headline,
+        F.lit(_TPL_MID),
+        F.col("text"),
+        F.lit("</p><p>"),
+        body_links,
+        F.lit(_TPL_TAIL),
+    )
+    return docs.select(
+        page_url(doc_id).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2024) + doc_id).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def pages_replicated(
     spark: SparkSession,
     sf_dir: str,
