@@ -318,8 +318,12 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding").unionByName(dup)
     # expected_n from the testdata layout (embeddings = 20000×sf + the
-    # 50 planted dups) — a catalog stat, deliberately NOT a count()
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # 50 planted dups) — a catalog stat, deliberately NOT a count();
+    # non-sf-named dirs fall back to the gate-scale default
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
     expected = int(20_000 * sf) + 50
     return similarity.embedding_near_dup_pairs(
         corpus, EMB_DIM, 0.95, n_bands=3,

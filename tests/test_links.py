@@ -23,6 +23,16 @@ def test_extract_links_absolute_only(spark):
     assert hrefs == ["http://b.example/y?z=1", "https://a.example/x"]
 
 
+def test_host_of_pathless_url(spark):
+    """Absolute links without a path ('https://example.com') must
+    yield the host, not '' (a '' node would silently absorb rank)."""
+    links = spark.createDataFrame(
+        [("https://s.example/1", "https://bare.example")], ["url", "href"]
+    )
+    g = host_graph(links).collect()
+    assert g[0].dst_host == "bare.example"
+
+
 def test_host_graph_weights(spark):
     rows = [
         ("https://s.example/1", "https://t.example/a"),

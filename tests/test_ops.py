@@ -190,6 +190,26 @@ def test_near_dup_planes_scale_linearly(spark):
     assert similarity.planes_for_corpus(10**12) == 32
 
 
+def test_wide_sketch_uses_long_bits(spark):
+    """Sketches past 31 planes must keep every plane: the 10^12 design
+    point is 32 planes (planes_for_corpus), which overflows an int32
+    sketch — plane 32's weight would vanish mod 2^32 and bit 31 would
+    sign-corrupt band extraction."""
+    df = _rand_emb(spark, 40, 8, seed=3)
+    sk = similarity.lsh_sketch(df, 8, n_planes=33)
+    rows = sk.collect()
+    assert all(r.sketch >= 0 for r in rows)
+    # some vector exercises the high planes (weights ≥ 2^31)
+    assert any(r.sketch >> 31 for r in rows)
+    # banded near-dup at a >32-plane width stays functional
+    pairs = similarity.embedding_near_dup_pairs(
+        df, 8, threshold=-1.0, n_planes=33, n_bands=3
+    )
+    assert pairs.count() > 0
+    with pytest.raises(ValueError):
+        similarity.lsh_sketch(df, 8, n_planes=63)
+
+
 def test_banded_near_dup_recall_survives_wide_sketch(spark):
     """Banding the sketch (simhash-style) keeps recall as planes grow:
     every pair the monolithic bucket finds is still found, and noisy
@@ -269,6 +289,17 @@ def test_redact_pii_known_values(spark):
     assert r[3].n_emails == 2
     # trailing char breaks the \b word boundary → not a phone
     assert r[3].n_phones == 0 and "999-888-7777x" in r[3].clean_text
+
+
+def test_redact_pii_counts_match_replacements(spark):
+    """A digit run swallowed by an email match is NOT reported as a
+    phone: counts reflect the replacements actually performed."""
+    df = spark.createDataFrame(
+        [(1, "reach 555-123-4567@corp.example.org now")], ["doc_id", "text"]
+    )
+    r = textstats.redact_pii(df).first()
+    assert r.clean_text == "reach <EMAIL> now"
+    assert (r.n_emails, r.n_phones) == (1, 0)
 
 
 def test_token_stats_known_values(spark):

@@ -291,8 +291,9 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     if not max_hamming < SIMHASH64_BANDS:
         raise ValueError(
             f"max_hamming={max_hamming} breaks the banded-candidate "
-            f"completeness guarantee (requires < {SIMHASH64_BANDS} "
-            "bands); raise SIMHASH64_BANDS instead of loosening this"
+            f"completeness guarantee (max_hamming must be < the band "
+            f"count, {SIMHASH64_BANDS}); raise SIMHASH64_BANDS if you "
+            "need larger distances"
         )
     # the signature table feeds four branches (band join both sides +
     # hamming lookup both sides): compute the 64-sum aggregation once

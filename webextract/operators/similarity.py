@@ -157,16 +157,21 @@ def lsh_sketch(
     SURVEY §2.10 budgets for."""
     from pyspark.sql.functions import pandas_udf
 
+    if not 0 < n_planes <= 62:
+        # long sketch: bit 62 is the last safely-positive weight (bit 63
+        # would sign-flip and break shiftright band extraction / probe
+        # equality); planes_for_corpus(10^12) = 32 sits well inside
+        raise ValueError(f"n_planes={n_planes} not in 1..62")
     planes_t = _planes(dim, n_planes).T  # (dim, n_planes)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
-    @pandas_udf("integer")
+    @pandas_udf("long")
     def sk(v: pd.Series) -> pd.Series:
         if not len(v):
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="int64")
         mat = np.array(v.tolist(), dtype=np.float64)
         bits = (mat @ planes_t) > 0
-        return pd.Series((bits @ weights).astype(np.int32))
+        return pd.Series(bits @ weights)
 
     return emb.withColumn("sketch", sk(F.col(col)))
 

@@ -189,15 +189,20 @@ PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 def redact_pii(docs: DataFrame, col: str = "text") -> DataFrame:
     """PII scrub for training data: emails → ``<EMAIL>``, North-
     American-style phone numbers → ``<PHONE>``, with per-doc match
-    counts for audit rollups. All codegen (``regexp_replace`` /
-    ``regexp_count``) — no Python in the path; at 100 TB this is a
-    map-only stage that fuses into the scan."""
+    counts for audit rollups. All codegen — no Python in the path; at
+    100 TB this is a map-only stage that fuses into the scan.
+
+    The audit counts are exactly the replacements PERFORMED: emails
+    are counted on the raw text, phones on the email-redacted text
+    (redaction runs in that order), so a digit run swallowed by an
+    email match — ``555-123-4567@host.example`` — is never reported
+    as a phone that was not actually replaced. ``regexp_count`` keeps
+    counting allocation-free (no match-array materialization)."""
     c = F.col(col)
-    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
-    redacted = F.regexp_replace(
-        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
-    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+    n_emails = F.regexp_count(c, F.lit(EMAIL_RE))
+    no_emails = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(no_emails, F.lit(PHONE_RE))
+    redacted = F.regexp_replace(no_emails, PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
         redacted.alias("clean_text"),

@@ -113,6 +113,36 @@ def _commit_wave(
     return rec
 
 
+def _bucket_col(cfg: JobConfig):
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
+
+
+def _bucketed_waves(
+    pages: DataFrame, cfg: JobConfig, done: set[int]
+) -> tuple[DataFrame, list[list[int]]]:
+    """Shared wave planner (parquet AND Iceberg paths): url-hash
+    bucketing + the remaining buckets sliced into waves."""
+    bucketed = pages.withColumn("bucket", _bucket_col(cfg))
+    todo = sorted(set(range(cfg.n_buckets)) - done)
+    waves = [
+        todo[i : i + cfg.wave_size] for i in range(0, len(todo), cfg.wave_size)
+    ]
+    return bucketed, waves
+
+
+def _extract_wave(
+    bucketed: DataFrame, wave: list[int], cfg: JobConfig
+) -> DataFrame:
+    """One wave's unified extraction frame (pages + lineage rows)."""
+    wave_pages = bucketed.filter(F.col("bucket").isin(wave))
+    return extract_pages_with_lineage(
+        wave_pages.repartition(len(wave), "bucket").select(
+            "url", "html", "bucket"
+        ),
+        cfg.extract,
+    )
+
+
 def run_extraction(
     spark: SparkSession, pages: DataFrame, cfg: JobConfig
 ) -> dict:
@@ -122,37 +152,21 @@ def run_extraction(
     un-manifested buckets are (re)processed.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    bucket = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
-    bucketed = pages.withColumn("bucket", bucket)
-
     done = done_buckets(cfg)
-    todo = sorted(set(range(cfg.n_buckets)) - done)
-    waves = [
-        todo[i : i + cfg.wave_size] for i in range(0, len(todo), cfg.wave_size)
-    ]
+    bucketed, waves = _bucketed_waves(pages, cfg, done)
     out_pages = os.path.join(cfg.output_dir, "extracted")
     out_lineage = os.path.join(cfg.output_dir, "lineage")
 
     total = {"waves": 0, "buckets_done": len(done), "urls": 0}
     for wave in waves:
         t0 = time.perf_counter()
-        wave_pages = bucketed.filter(F.col("bucket").isin(wave))
         # one job: repartition by bucket so each output partition is
         # written by the tasks that own it (no tiny-file explosion)
-        uni = extract_pages_with_lineage(
-            wave_pages.repartition(len(wave), "bucket").select(
-                "url", "html", "bucket"
-            ),
-            cfg.extract,
-        )
-        uni = uni.persist()
+        uni = _extract_wave(bucketed, wave, cfg).persist()
         try:
             extracted, lineage = split_lineage(uni)
             # re-derive the bucket from the url (the UDF consumed it)
-            extracted = extracted.withColumn(
-                "bucket",
-                F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int"),
-            )
+            extracted = extracted.withColumn("bucket", _bucket_col(cfg))
             (
                 extracted.write.mode("overwrite")
                 .partitionBy("bucket")
@@ -187,19 +201,25 @@ def run_extraction(
 def run_extraction_iceberg(
     spark: SparkSession, pages: DataFrame, cfg: JobConfig, table: str
 ) -> dict:
-    """The Iceberg-catalog variant of :func:`run_extraction`: identical
-    wave/bucket protocol, but each wave commits with
-    ``writeTo(table).append()`` (one Iceberg snapshot per wave) and the
-    snapshot log records Iceberg's OWN snapshot id, read back from
-    ``<table>.snapshots``. Resume still plans from the validated log
-    and cross-checks that every recorded snapshot id exists in the
-    table's snapshot history — a dropped/rolled-back table raises
-    instead of resuming against missing data.
+    """The Iceberg-catalog variant of :func:`run_extraction` (same
+    wave planner, same lineage side-output, same stats contract): each
+    wave commits with ``writeTo(table).overwritePartitions()`` — the
+    v2 dynamic-partition overwrite, so the ``table`` MUST be
+    partitioned by ``bucket``. Overwrite (not append) is what makes a
+    crash between the Iceberg commit and the snapshot-log append safe:
+    the rerun REPLACES the orphan wave's bucket partitions instead of
+    appending the same rows twice. The log records Iceberg's OWN
+    snapshot id, read back from ``<table>.snapshots``; resume
+    cross-checks that every recorded snapshot id still exists in the
+    table history — a dropped/rolled-back table raises instead of
+    resuming against missing data.
 
     GATED: requires the Iceberg Spark runtime on the classpath
     (:func:`iceberg_available`); this sandbox has no jar and no way to
     install one, so this path is untested here by construction — the
-    commit/resume machinery around it is the tested code above.
+    wave/commit/resume machinery it shares with the parquet path
+    (:func:`_bucketed_waves`, :func:`_extract_wave`, ``SnapshotLog``)
+    is the tested code.
     """
     if not iceberg_available(spark):
         raise RuntimeError(
@@ -221,27 +241,28 @@ def run_extraction_iceberg(
                 f"missing from {table}.snapshots — table was rewritten; "
                 "restart from a clean output_dir"
             )
-    bucket = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
-    bucketed = pages.withColumn("bucket", bucket)
-    todo = sorted(set(range(cfg.n_buckets)) - done)
-    waves = [
-        todo[i : i + cfg.wave_size] for i in range(0, len(todo), cfg.wave_size)
-    ]
+    bucketed, waves = _bucketed_waves(pages, cfg, done)
+    out_lineage = os.path.join(cfg.output_dir, "lineage")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     total = {"waves": 0, "buckets_done": len(done), "urls": 0}
     for wave in waves:
         t0 = time.perf_counter()
-        wave_pages = bucketed.filter(F.col("bucket").isin(wave))
-        uni = extract_pages_with_lineage(
-            wave_pages.repartition(len(wave), "bucket").select(
-                "url", "html", "bucket"
-            ),
-            cfg.extract,
-        )
-        extracted, _ = split_lineage(uni)
-        extracted.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int"),
-        ).writeTo(table).append()
+        uni = _extract_wave(bucketed, wave, cfg).persist()
+        try:
+            extracted, lineage = split_lineage(uni)
+            (
+                extracted.withColumn("bucket", _bucket_col(cfg))
+                .writeTo(table)
+                .overwritePartitions()
+            )
+            n_urls = int(lineage.agg(F.sum("urls_in")).first()[0] or 0)
+            lineage.withColumn(
+                "wave_start_bucket", F.lit(min(wave))
+            ).write.mode("overwrite").partitionBy("wave_start_bucket").parquet(
+                out_lineage
+            )
+        finally:
+            uni.unpersist()
         snap = spark.sql(
             f"SELECT snapshot_id FROM {table}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1"
@@ -250,8 +271,10 @@ def run_extraction_iceberg(
             wave,
             [],  # Iceberg owns the file manifest; the log keeps its id
             iceberg_snapshot_id=snap,
+            urls=n_urls,
             sec=round(time.perf_counter() - t0, 3),
         )
         total["waves"] += 1
         total["buckets_done"] += len(wave)
+        total["urls"] += n_urls
     return total
