@@ -503,6 +503,35 @@ def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health dashboard: extraction composed with language
+    ID and quality scoring, rolled up per host — the cross-family
+    report a corpus operator actually reads. Every stage is the
+    production operator over the EXTRACTED text (not the source
+    docs); the mean ratio goes through a DECIMAL(38,6) sum then one
+    double division, so the oracle replays it bit-exactly."""
+    ext = q_extract(spark, sf_dir)
+    docs = ext.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("url", "^https://([^/]+)/", 1).alias("host"),
+        "text",
+        F.lit("und").alias("lang"),
+    )
+    lid = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    q = textstats.quality_scores(docs).select("doc_id", "stop_ratio")
+    joined = docs.select("doc_id", "host", F.length("text").alias("n_chars"))
+    joined = joined.join(lid, "doc_id").join(q, "doc_id")
+    return joined.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum((F.col("pred_lang") == "en").cast("bigint")).alias("n_en"),
+        (
+            F.sum(F.col("stop_ratio").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_stop_ratio"),
+    )
+
+
 def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data cleaning chain: synthesize pages →
     extract main content → corpus-wide line dedup of the EXTRACTED
@@ -604,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sample": q_union_sample,
         "pipeline_dedup": q_pipeline_dedup,
         "pipeline_clean": q_pipeline_clean,
+        "corpus_report": q_corpus_report,
         "extract_eval": q_extract_eval,
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
@@ -1117,6 +1147,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST(unnest(range(1, CAST(doc_id % 5 + 1 AS INTEGER) + 1)) AS INTEGER) AS page_no
             FROM documents
         """,
+        "corpus_report": _corpus_report_sql(),
         "links": f"""
             SELECT {_URL} AS url,
                    'https://host' || CAST((doc_id*7+1) % 37 AS VARCHAR)
@@ -1237,6 +1268,43 @@ WITH {_EDGES_CTE},
   r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS rank
          FROM nodes),{",".join(its)}
 SELECT host, rank FROM r{n_iter}
+"""
+
+
+def _corpus_report_sql() -> str:
+    counts = []
+    for lang in textstats.LANG_ORDER:
+        markers = ", ".join(repr(m) for m in textstats.LANG_MARKERS[lang])
+        counts.append(f"len(list_filter(t, x -> x IN ({markers}))) AS c_{lang}")
+    best = "greatest(" + ", ".join(f"c_{l}" for l in textstats.LANG_ORDER) + ")"
+    pred = "'und'"
+    for lang in reversed(textstats.LANG_ORDER):
+        pred = f"CASE WHEN best > 0 AND c_{lang} = best THEN '{lang}' ELSE {pred} END"
+    stop = ", ".join(repr(s) for s in textstats.STOPWORDS)
+    return f"""
+WITH e AS (SELECT doc_id,
+                  'host' || CAST({_HOST} AS VARCHAR) || '.example' AS host,
+                  {_EXTRACTED} AS text FROM documents),
+  tq AS (SELECT doc_id, host, length(text) AS n_chars,
+                string_split(text, ' ') AS t FROM e),
+  f AS (SELECT doc_id, host, n_chars,
+               len(t) AS n_tokens,
+               len(list_filter(t, x -> x IN ({stop}))) AS n_stop,
+               {", ".join(counts)}
+        FROM tq),
+  m AS (SELECT *, {best} AS best FROM f),
+  p AS (SELECT doc_id, host, n_chars,
+               CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS stop_ratio,
+               {pred} AS pred_lang
+        FROM m)
+SELECT host, COUNT(*) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_en,
+       CAST(SUM(CAST(stop_ratio AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         AS mean_stop_ratio
+FROM p GROUP BY host
 """
 
 

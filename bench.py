@@ -97,6 +97,7 @@ def main() -> None:
         "host_graph",
         "pagerank",
         "pipeline_clean",
+        "corpus_report",
         "pricing_summary",
         "orders_by_region",
     ]
