@@ -511,12 +511,16 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs); the mean ratio goes through a DECIMAL(38,6) sum then one
     double division, so the oracle replays it bit-exactly."""
     ext = q_extract(spark, sf_dir)
+    # three operator branches (ids, lang-ID, quality) read this frame:
+    # checkpoint so the Arrow extraction UDF — the expensive stage —
+    # runs ONCE, not once per branch (same materialize-once trade as
+    # the dedup shingle tables)
     docs = ext.select(
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
         F.regexp_extract("url", "^https://([^/]+)/", 1).alias("host"),
         "text",
         F.lit("und").alias("lang"),
-    )
+    ).localCheckpoint(eager=False)
     lid = textstats.lang_id(docs).select("doc_id", "pred_lang")
     q = textstats.quality_scores(docs).select("doc_id", "stop_ratio")
     joined = docs.select("doc_id", "host", F.length("text").alias("n_chars"))
@@ -1271,15 +1275,26 @@ SELECT host, rank FROM r{n_iter}
 """
 
 
-def _corpus_report_sql() -> str:
+def _langid_exprs(tok: str) -> tuple[list[str], str, str]:
+    """The frozen lang-ID SQL fragments over a token-list expression
+    ``tok`` — ONE statement of the marker counts / greatest() /
+    deterministic nested-CASE argmax, shared by the langid and
+    corpus_report oracles so the tie-break semantics cannot drift."""
     counts = []
     for lang in textstats.LANG_ORDER:
         markers = ", ".join(repr(m) for m in textstats.LANG_MARKERS[lang])
-        counts.append(f"len(list_filter(t, x -> x IN ({markers}))) AS c_{lang}")
+        counts.append(
+            f"len(list_filter({tok}, x -> x IN ({markers}))) AS c_{lang}"
+        )
     best = "greatest(" + ", ".join(f"c_{l}" for l in textstats.LANG_ORDER) + ")"
     pred = "'und'"
     for lang in reversed(textstats.LANG_ORDER):
         pred = f"CASE WHEN best > 0 AND c_{lang} = best THEN '{lang}' ELSE {pred} END"
+    return counts, best, pred
+
+
+def _corpus_report_sql() -> str:
+    counts, best, pred = _langid_exprs("t")
     stop = ", ".join(repr(s) for s in textstats.STOPWORDS)
     return f"""
 WITH e AS (SELECT doc_id,
@@ -1309,16 +1324,7 @@ FROM p GROUP BY host
 
 
 def _langid_sql() -> str:
-    counts = []
-    for lang in textstats.LANG_ORDER:
-        markers = ", ".join(repr(m) for m in textstats.LANG_MARKERS[lang])
-        counts.append(
-            f"len(list_filter(string_split(text, ' '), t -> t IN ({markers}))) AS c_{lang}"
-        )
-    best = "greatest(" + ", ".join(f"c_{lang}" for lang in textstats.LANG_ORDER) + ")"
-    pred = "'und'"
-    for lang in reversed(textstats.LANG_ORDER):
-        pred = f"CASE WHEN best > 0 AND c_{lang} = best THEN '{lang}' ELSE {pred} END"
+    counts, best, pred = _langid_exprs("string_split(text, ' ')")
     cols = ", ".join(f"c_{lang}" for lang in textstats.LANG_ORDER)
     return f"""
         WITH b AS (SELECT doc_id, lang, {", ".join(counts)} FROM documents),

@@ -35,8 +35,9 @@ HREF_RE = r'href="(https?://[^"]+)"'
 
 def host_of(url: Column) -> Column:
     # no trailing-slash requirement: '<a href="https://example.com">'
-    # (path-less, common in the wild) must yield the host, not ''
-    return F.regexp_extract(url, "^https?://([^/]+)", 1)
+    # (path-less, common in the wild) must yield the host, not '' —
+    # and the authority also ends at '?' or '#' (https://ex.com?x=1)
+    return F.regexp_extract(url, "^https?://([^/?#]+)", 1)
 
 
 def extract_links(pages: DataFrame) -> DataFrame:

@@ -22,11 +22,14 @@ has NO failure recovery) — ours is resumable and idempotent:
    at all, because scans plan from the log, not directory listing.
 
 When an Iceberg catalog IS on the classpath, the same protocol rides
-the real table format: :func:`run_extraction_iceberg` appends each
-wave with ``writeTo(...).append()`` and records Iceberg's OWN
-snapshot id in the log (:func:`iceberg_available` gates it; it has
-never executed here — the jar does not exist in the sandbox — but the
-commit/resume logic it shares with the parquet path is fully tested).
+the real table format: :func:`run_extraction_iceberg` commits each
+wave with ``writeTo(...).overwritePartitions()`` (the table must be
+partitioned by ``bucket`` — overwrite is what keeps a crashed,
+unlogged wave idempotent on rerun) and records Iceberg's OWN snapshot
+id in the log (:func:`iceberg_available` gates it; it has never
+executed here — the jar does not exist in the sandbox — but the
+wave/commit/resume logic it shares with the parquet path is fully
+tested).
 
 The checkpoint unit mirrors the reference's resumable training
 checkpoints (tools/program.py:218-224, load via tools/train.py:174).
