@@ -474,6 +474,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=5)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction from media bytes (numpy-vectorized byte
+    histogram + mean per Arrow batch — the embedding-from-media
+    plumbing). Rows-only: blob-level aggregation is not portably
+    SQL-statable; invariants are pytest-pinned."""
+    media = multimodal.synth_mixed_media(_docs(spark, sf_dir))
+    return multimodal.media_features(media)
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV header decode: spec-correct RIFF/WAVE payloads built
     JVM-side, fields recovered by little-endian byte math in codegen.
@@ -629,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_meta": q_media_meta,
         "media_pages": q_media_pages,
+        "media_features": q_media_features,
         "audio_meta": q_audio_meta,
         "frame_sample": q_frame_sample,
         "links": q_links,

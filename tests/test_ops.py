@@ -429,6 +429,26 @@ def test_mixed_media_real_headers(spark, docs):
     assert (fmt, ok) == ("png", True) and w == row.media_id % 64 + 1
 
 
+def test_media_features_known_values(spark):
+    rows = [(1, b"\x00\xff"), (2, None), (3, b"\x80" * 10)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    r = {row.media_id: row for row in multimodal.media_features(df).collect()}
+    assert r[1].n_bytes == 2 and r[1].mean_byte == 127.5
+    assert r[1].byte_hist[0] == 1 and r[1].byte_hist[-1] == 1
+    assert sum(r[1].byte_hist) == 2 and len(r[1].byte_hist) == 16
+    assert r[2].ok is False and r[2].byte_hist is None
+    assert r[3].byte_hist[0x80 >> 4] == 10 and r[3].mean_byte == 128.0
+
+
+def test_media_features_histogram_conservation(spark, docs):
+    feats = multimodal.media_features(multimodal.synth_mixed_media(docs))
+    bad = feats.filter(
+        F.aggregate("byte_hist", F.lit(0).cast("long"), lambda a, x: a + x)
+        != F.col("n_bytes")
+    ).count()
+    assert bad == 0
+
+
 def test_wav_metadata_vs_stdlib_writer(spark):
     """Cross-validate the JVM-side RIFF byte math against an
     INDEPENDENT implementation: payloads written by Python's stdlib

@@ -183,6 +183,61 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, DECODED_SCHEMA)
 
 
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("byte_hist", T.ArrayType(T.LongType()), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction from raw media bytes — the embedding-
+    from-media plumbing (the reference's feature step is the CNN
+    backbone; here the featurizer is a REAL vectorized byte-level
+    computation, and a learned model drops into the same batch shape).
+
+    Per payload: byte count, mean byte value, and an ``n_bins``-bin
+    byte-value histogram — computed with numpy ``frombuffer`` +
+    ``bincount`` per Arrow batch (no per-byte Python). Downstream
+    these vectors feed the similarity/dedup operators like any other
+    embedding column. Rows-only at the driver (blob-level aggregation
+    is not portably SQL-statable); invariants are pytest-pinned.
+    """
+    assert 256 % n_bins == 0
+    shift = 8 - (n_bins - 1).bit_length()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "n_bytes": [], "mean_byte": [], "byte_hist": [], "ok": [],
+            }
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    out["n_bytes"].append(0)
+                    out["mean_byte"].append(None)
+                    out["byte_hist"].append(None)
+                    out["ok"].append(False)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr >> shift, minlength=n_bins)
+                out["n_bytes"].append(len(arr))
+                out["mean_byte"].append(float(arr.mean()))
+                out["byte_hist"].append([int(x) for x in hist])
+                out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage — NOT IMPLEMENTED in this container (no image libs).
     The plumbing (signature, schema) is the contract; raises on use."""
