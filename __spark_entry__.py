@@ -358,6 +358,51 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_url(pages)
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-crawl-wins per url (CDX "latest capture"): the base
+    crawl unioned with a one-day-later recrawl of every third doc;
+    the operator must keep exactly the newest snapshot and count the
+    captures. Output carries the timestamp as epoch seconds (hash-
+    portable; the injective cast keeps the window order identical)."""
+    from webextract.operators.urlnorm import latest_snapshot
+    from webextract.sources.pages import _EPOCH_2024, page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    base = docs.select(
+        page_url(doc_id).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2024) + doc_id).alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    recrawl = docs.filter(doc_id % 3 == 0).select(
+        page_url(doc_id).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2024) + doc_id + 86400).alias("warc_ts"),
+        F.concat(F.col("text"), F.lit(" (recrawl)")).alias("text"),
+        F.col("lang"),
+    )
+    kept = latest_snapshot(base.unionByName(recrawl))
+    return kept.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_s"),
+        "text",
+        "lang",
+        "n_snapshots",
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus (doc_id % 11 != 0) vs a
+    held-out benchmark sample (doc_id % 11 = 0), flagging corpus docs
+    sharing ≥2 distinct word 8-grams with any benchmark doc. The
+    benchmark shingle table is broadcast; overlap is one IEEE division
+    of exact ints (never re-rounded)."""
+    docs = _docs_spread(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 11 == 0)
+    return dedup.contamination_overlap(corpus, benchmark, n=8, min_shared=2)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -472,6 +517,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = host_graph(extract_links(pages_with_links(spark, sf_dir)))
     return pagerank(edges, n_iter=5)
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text profile per target host: inlink count, distinct
+    source hosts, and the modal anchor text (ties broken count desc,
+    anchor asc). The fixture varies anchors by (src+target) % 4, so
+    the oracle states the whole profile from documents arithmetic."""
+    from webextract.operators.links import anchor_summary, extract_anchors
+    from webextract.sources.pages import pages_with_links
+
+    return anchor_summary(extract_anchors(pages_with_links(spark, sf_dir)))
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "emb_near_dup": q_emb_near_dup,
         "url_dedup": q_url_dedup,
+        "latest_snapshot": q_latest_snapshot,
+        "decontaminate": q_decontaminate,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -643,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "links": q_links,
         "host_graph": q_host_graph,
+        "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
         "union_sample": q_union_sample,
         "pipeline_dedup": q_pipeline_dedup,
@@ -1002,6 +1061,47 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    COUNT(*) AS n_spellings
             FROM v GROUP BY base
         """,
+        "latest_snapshot": f"""
+            WITH snaps AS (
+              SELECT {_URL} AS url, 1704067200 + doc_id AS ts_s,
+                     text, lang FROM documents
+              UNION ALL
+              SELECT {_URL}, 1704067200 + doc_id + 86400,
+                     text || ' (recrawl)', lang
+              FROM documents WHERE doc_id % 3 = 0),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY url
+                       ORDER BY ts_s DESC, md5(text) ASC, text ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY url) AS n_snapshots
+              FROM snaps)
+            SELECT url, CAST(ts_s AS BIGINT) AS ts_s, text, lang,
+                   CAST(n_snapshots AS BIGINT) AS n_snapshots
+            FROM r WHERE rn = 1
+        """,
+        "decontaminate": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(len(t) - 7),
+                            i -> array_to_string(t[i+1:i+8], ' '))) AS shingle
+              FROM toks WHERE len(t) >= 8),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 11 <> 0),
+            bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+                      WHERE doc_id % 11 = 0),
+            totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus
+                       GROUP BY doc_id),
+            hits AS (
+              SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+              FROM corpus c JOIN bench b ON c.shingle = b.shingle
+              GROUP BY c.doc_id, b.bench_id
+              HAVING COUNT(*) >= 2)
+            SELECT h.doc_id, h.bench_id, h.n_shared,
+                   CAST(h.n_shared AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+                     AS overlap
+            FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+        """,
         "token_stats": rf"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
@@ -1179,6 +1279,38 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             FROM documents
         """,
         "host_graph": f"WITH {_EDGES_CTE} SELECT src_host, dst_host, weight FROM ew",
+        # anchor arithmetic mirrors pages_with_links: anchor word index
+        # is (src_doc + target_doc) % 4 over the frozen 4-word list
+        "anchor_texts": f"""
+            WITH anch AS (
+              SELECT 'host' || CAST({_HOST} AS VARCHAR) || '.example' AS src_host,
+                     'host' || CAST((doc_id*7+1) % 37 AS VARCHAR) || '.example' AS dst_host,
+                     (['ref','see also','source','details'])[(2*doc_id+1) % 4 + 1] AS anchor
+              FROM documents
+              UNION ALL
+              SELECT 'host' || CAST({_HOST} AS VARCHAR) || '.example',
+                     'host' || CAST((doc_id*13+2) % 37 AS VARCHAR) || '.example',
+                     (['ref','see also','source','details'])[(2*doc_id+2) % 4 + 1]
+              FROM documents
+              UNION ALL
+              SELECT 'host' || CAST({_HOST} AS VARCHAR) || '.example',
+                     'host' || CAST({_HOST} AS VARCHAR) || '.example',
+                     (['ref','see also','source','details'])[(2*doc_id) % 4 + 1]
+              FROM documents),
+            per AS (SELECT dst_host, anchor, COUNT(*) AS n FROM anch
+                    GROUP BY dst_host, anchor),
+            top AS (SELECT dst_host, anchor AS top_anchor,
+                           n AS top_anchor_n,
+                           row_number() OVER (PARTITION BY dst_host
+                             ORDER BY n DESC, anchor ASC) AS rk
+                    FROM per),
+            tot AS (SELECT dst_host, COUNT(*) AS n_inlinks,
+                           COUNT(DISTINCT src_host) AS n_src_hosts
+                    FROM anch GROUP BY dst_host)
+            SELECT t.dst_host, t.n_inlinks, t.n_src_hosts,
+                   p.top_anchor, p.top_anchor_n
+            FROM tot t JOIN top p ON t.dst_host = p.dst_host AND p.rk = 1
+        """,
         "pagerank": _pagerank_sql(),
         # ground truth of the planted WAV fields; the Spark side must
         # recover them from the real RIFF byte layout

@@ -78,6 +78,8 @@ def main() -> None:
         "dedup_jaccard_top",
         "dedup_lines",
         "url_dedup",
+        "latest_snapshot",
+        "decontaminate",
         "dedup_clusters",
         "dedup_simhash",
         "dedup_simhash_pairs",
@@ -95,6 +97,7 @@ def main() -> None:
         "audio_meta",
         "frame_sample",
         "host_graph",
+        "anchor_texts",
         "pagerank",
         "pipeline_clean",
         "corpus_report",

@@ -92,3 +92,52 @@ def test_pagerank_over_fixture_graph(spark):
     again = {(row.host, row.rank) for row in
              pagerank(edges, n_iter=5).collect()}
     assert again == {(row.host, row.rank) for row in rows}
+
+
+def test_extract_anchors_pairs(spark):
+    from webextract.operators.links import extract_anchors
+
+    html = (
+        '<p><a href="https://a.example/x">first ref</a> '
+        '<a href="/rel">skip</a> '
+        '<a href="https://b.example/y" rel="nofollow">second</a></p>'
+    ).encode()
+    df = spark.createDataFrame([("https://src.example/p", html)], ["url", "html"])
+    got = sorted((r.href, r.anchor) for r in extract_anchors(df).collect())
+    assert got == [
+        ("https://a.example/x", "first ref"),
+        ("https://b.example/y", "second"),
+    ]
+
+
+def test_anchor_summary_top_anchor_deterministic(spark):
+    from webextract.operators.links import anchor_summary
+
+    rows = [
+        # t.example: 'good' twice, 'meh' once; two distinct src hosts
+        ("https://s1.example/1", "https://t.example/a", "good"),
+        ("https://s1.example/2", "https://t.example/b", "good"),
+        ("https://s2.example/3", "https://t.example/c", "meh"),
+        # u.example: tie 1-1 → lexicographic min wins
+        ("https://s1.example/4", "https://u.example/d", "zz"),
+        ("https://s1.example/5", "https://u.example/e", "aa"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "href", "anchor"])
+    got = {r.dst_host: r for r in anchor_summary(df).collect()}
+    t = got["t.example"]
+    assert (t.n_inlinks, t.n_src_hosts, t.top_anchor, t.top_anchor_n) == (3, 2, "good", 2)
+    u = got["u.example"]
+    assert (u.top_anchor, u.top_anchor_n) == ("aa", 1)
+
+
+def test_anchor_fixture_profile(spark):
+    """The link fixture's anchor words cycle with (src+target) % 4, so
+    every host's profile is statable — spot-check global invariants."""
+    from webextract.operators.links import anchor_summary, extract_anchors
+    from webextract.sources.pages import pages_with_links
+
+    res = anchor_summary(extract_anchors(pages_with_links(spark, SF))).collect()
+    assert len(res) == 37                       # hosts 0..36
+    assert sum(r.n_inlinks for r in res) == 3 * 500
+    words = {"ref", "see also", "source", "details"}
+    assert all(r.top_anchor in words for r in res)

@@ -94,6 +94,36 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     assert (1, 3) in full and (1, 3) not in capped  # shared only 'x'
 
 
+def test_contamination_overlap_known_values(spark):
+    """Doc 1 contains benchmark doc 10's full 3-gram span; doc 2
+    shares only one 3-gram (below min_shared); doc 3 shares none."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "p q r s t u"),     # 3-grams: pqr qrs rst stu (4 shingles)
+            (2, "p q r x y z"),     # shares only 'p q r'
+            (3, "m n o m n o"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(10, "p q r s t")], ["doc_id", "text"])
+    rows = dedup.contamination_overlap(corpus, bench, n=3, min_shared=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # doc1 shingles: 4; shared with bench (pqr qrs rst): 3
+    assert (r.doc_id, r.bench_id, r.n_shared) == (1, 10, 3)
+    assert abs(r.overlap - 3 / 4) < 1e-12
+
+
+def test_contamination_overlap_benchmark_broadcast(spark):
+    """The benchmark side must reach the join as a broadcast (no
+    shuffle of the corpus shingle stream for the join)."""
+    corpus = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, "a b c d e f g h")], ["doc_id", "text"])
+    df = dedup.contamination_overlap(corpus, bench)
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained
+
+
 def test_simhash_identical_share_and_signature_range(spark, docs):
     sig = dedup.simhash_signatures(docs)
     mm = sig.agg(F.min("simhash"), F.max("simhash")).first()

@@ -51,3 +51,42 @@ def test_dedup_by_url_groups_spellings(spark):
            for r in dedup_by_url(df).collect()}
     assert got["https://a.example/p"] == ("https://A.Example/p/", 3)
     assert got["https://b.example/q"] == ("https://b.example/q", 1)
+
+
+def test_latest_snapshot_keeps_newest(spark):
+    from datetime import datetime, timezone
+
+    from webextract.operators.urlnorm import latest_snapshot
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        ("https://a.example/1", ts(100), "old", "en"),
+        ("https://a.example/1", ts(200), "new", "en"),
+        ("https://b.example/2", ts(150), "only", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text", "lang"])
+    got = {r.url: (r.text, r.n_snapshots) for r in latest_snapshot(df).collect()}
+    assert got == {
+        "https://a.example/1": ("new", 2),
+        "https://b.example/2": ("only", 1),
+    }
+
+
+def test_latest_snapshot_equal_ts_tiebreak_deterministic(spark):
+    """Same-timestamp duplicates pick a frozen keeper (md5 order)."""
+    from datetime import datetime, timezone
+
+    from webextract.operators.urlnorm import latest_snapshot
+
+    t = datetime.fromtimestamp(500, tz=timezone.utc).replace(tzinfo=None)
+    rows = [
+        ("https://a.example/1", t, "alpha", "en"),
+        ("https://a.example/1", t, "beta", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "text", "lang"])
+    first = latest_snapshot(df).collect()
+    again = latest_snapshot(df).collect()
+    assert first == again and len(first) == 1
+    assert first[0].n_snapshots == 2

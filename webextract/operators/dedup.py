@@ -192,6 +192,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: for every (corpus doc, benchmark doc)
+    pair sharing ≥ ``min_shared`` distinct word ``n``-grams, report the
+    shared-shingle count and the overlap ratio relative to the corpus
+    doc's own shingle count → (doc_id, bench_id, n_shared, overlap).
+
+    The training-data gate that keeps eval sets out of the corpus
+    (the data-hygiene analog of the reference's train/eval split
+    discipline, ``tools/train.py`` dataset config). Scale design:
+
+     * the benchmark side is SMALL by definition (eval suites are
+       thousands of docs, the corpus is 10^12) → its shingle table is
+       **broadcast**, so the corpus shingle stream joins map-side with
+       no shuffle of the big side;
+     * long shingles (n=8 default) are near-unique natural-language
+       spans, so the hit stream is tiny next to the corpus and the
+       (doc_id, bench_id) count is a partial+final agg on a sparse key;
+     * per-doc shingle totals ride the same shingle scan (groupBy
+       doc_id), and only HIT docs pay the totals join (inner join
+       prunes the rest).
+
+    ``overlap`` is one IEEE division of two exact ints — bit-identical
+    in the DuckDB oracle (never re-rounded).
+    """
+    d = shingles(docs, n)
+    b = shingles(benchmark, n).select(F.col("doc_id").alias("bench_id"), "shingle")
+    totals = d.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        d.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        (F.col("n_shared") / F.col("n_shingles")).alias("overlap"),
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """16-bit SimHash per doc from md5-derived token bits (DEMO width —
     saturates by pigeonhole at ≥10^6 docs; production dedup uses

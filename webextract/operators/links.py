@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # absolute links only (the host graph wants cross-site structure;
@@ -46,6 +46,83 @@ def extract_links(pages: DataFrame) -> DataFrame:
     html = F.decode(F.col("html"), "UTF-8")
     hrefs = F.regexp_extract_all(html, F.lit(HREF_RE), 1)
     return pages.select("url", F.explode(hrefs).alias("href"))
+
+
+# whole <a ...>text</a> element with an absolute href and tag-free
+# anchor text (nested markup in the anchor is out of the fixture's and
+# this extractor's scope; the DOM tokenizer handles the general case)
+ANCHOR_RE = r'<a href="(https?://[^"]+)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → (url, href, anchor): one row per absolute
+    link WITH its anchor text.
+
+    Same fusion story as :func:`extract_links` — decode +
+    ``regexp_extract_all`` of the whole element + explode + two
+    per-element group extracts, all inside codegen (Spark's
+    ``regexp_extract_all`` returns one capture group, so the element
+    is matched whole and the groups re-extracted per row; the regex
+    engine re-runs on a short string, not the page).
+
+    Anchor-text aggregation is the classic web-graph signal (what the
+    web *calls* a page beats what the page calls itself) — the crawl
+    analog of the reference attaching recognized text to detected
+    boxes (``predict_system.py:67-120``).
+    """
+    html = F.decode(F.col("html"), "UTF-8")
+    elems = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 0)
+    return pages.select("url", F.explode(elems).alias("elem")).select(
+        "url",
+        F.regexp_extract("elem", ANCHOR_RE, 1).alias("href"),
+        F.regexp_extract("elem", ANCHOR_RE, 2).alias("anchor"),
+    )
+
+
+def anchor_summary(anchors: DataFrame) -> DataFrame:
+    """Per-target-host anchor-text profile: (dst_host, n_inlinks,
+    n_src_hosts, top_anchor, top_anchor_n).
+
+    ``top_anchor`` is the modal anchor text with a frozen tie-break
+    (count desc, then anchor asc) so the result is deterministic and
+    SQL-statable. The page-derived anchor stream is reduced ONCE to a
+    (dst_host, src_host, anchor, n) table — the host_graph cardinality
+    with an anchor dimension — and checkpointed, so the expensive
+    upstream (page scan + regex explode) runs a single time; both the
+    per-anchor mode and the host rollup are then aggs over that small
+    table. Hot hosts are absorbed by the map-side partial agg, the
+    same skew posture as :func:`host_graph`.
+    """
+    by_host = anchors.select(
+        host_of(F.col("url")).alias("src_host"),
+        host_of(F.col("href")).alias("dst_host"),
+        "anchor",
+    )
+    g = (
+        by_host.groupBy("dst_host", "src_host", "anchor")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    per_anchor = g.groupBy("dst_host", "anchor").agg(F.sum("n").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    top = (
+        per_anchor.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "dst_host",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").alias("top_anchor_n"),
+        )
+    )
+    totals = g.groupBy("dst_host").agg(
+        F.sum("n").alias("n_inlinks"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )
+    return totals.join(top, "dst_host").select(
+        "dst_host", "n_inlinks", "n_src_hosts", "top_anchor", "top_anchor_n"
+    )
 
 
 def host_graph(links: DataFrame) -> DataFrame:

@@ -21,7 +21,7 @@ canonical string.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -74,4 +74,35 @@ def dedup_by_url(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("raw_url").alias("keeper"),
             F.count("*").alias("n_spellings"),
         )
+    )
+
+
+def latest_snapshot(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Latest-crawl-wins per url: keep exactly the newest snapshot row
+    of every url (the CDX "latest capture" semantics a recrawled
+    Common-Crawl-style table needs before any content stage), plus the
+    snapshot count → input columns + ``n_snapshots``.
+
+    One shuffle on the url: ``row_number`` over (url ORDER BY warc_ts
+    DESC, then all remaining columns' tiebreak hash) picks the keeper
+    and a windowed count rides the same exchange — Catalyst plans both
+    window functions over ONE sort/shuffle. Urls are near-unique keys
+    (a url recurs once per recrawl, bounded by crawl count), so there
+    is no skew story; at 10^12 rows this is the same single-exchange
+    shape as :func:`dedup_by_url`.
+
+    Tie-break: equal-timestamp duplicates (same url fetched twice in
+    one crawl) rank by ``md5(text)`` then text so the keeper is
+    deterministic and oracle-statable.
+    """
+    w = Window.partitionBy(url_col).orderBy(
+        F.col("warc_ts").desc(),
+        F.md5(F.col("text")).asc(),
+        F.col("text").asc(),
+    )
+    return (
+        pages.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_snapshots", F.count("*").over(Window.partitionBy(url_col)))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

@@ -187,13 +187,22 @@ def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     doc_id = F.col("doc_id")
 
+    # anchor text varies deterministically with (src, target) so the
+    # anchor-text profile per host is a real aggregation; DuckDB states
+    # the same arithmetic with a 1-indexed list literal
+    anchor_words = F.array(
+        F.lit("ref"), F.lit("see also"), F.lit("source"), F.lit("details")
+    )
+
     def link_to(host_expr, target_doc):
         return F.concat(
             F.lit('<a href="https://host'),
             host_expr.cast("string"),
             F.lit(".example/doc/"),
             target_doc.cast("string"),
-            F.lit('">ref</a> '),
+            F.lit('">'),
+            F.element_at(anchor_words, ((doc_id + target_doc) % 4 + 1).cast("int")),
+            F.lit("</a> "),
         )
 
     body_links = F.concat(
