@@ -403,6 +403,75 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_overlap(corpus, benchmark, n=8, min_shared=2)
 
 
+def q_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota sampling over the planted-skew url table (half
+    the corpus on host0): keep ≤10 docs per host by the deterministic
+    (md5(url), url) order. The operator runs the two-phase salted
+    top-cap; the oracle states the semantics as ONE plain row_number —
+    equality IS the two-phase correctness proof."""
+    from webextract.operators.sampling import host_quota
+    from webextract.sources.pages import page_host, page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    pages = docs.select(
+        page_url(doc_id).alias("url"),
+        page_host(doc_id).cast("int").alias("host"),
+    )
+    kept = host_quota(pages, cap=10, host_col="host", key_col="url")
+    return kept.select(
+        "url", "host", F.col("quota_rank").cast("long").alias("quota_rank")
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training layout: 8 shard streams, 2048-token
+    chunks, whitespace token counts (the token_stats convention). The
+    oracle restates the per-shard running sum and chunk arithmetic."""
+    from webextract.operators.sampling import pack_chunks
+
+    out = pack_chunks(_docs(spark, sf_dir), ctx=2048, n_shards=8)
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("first_chunk").cast("long").alias("first_chunk"),
+        F.col("last_chunk").cast("long").alias("last_chunk"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+    )
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl diff: the old crawl misses doc_id%5==4 (those
+    urls are "new"), the new crawl drops doc_id%11==3 ("deleted") and
+    rewrites text for doc_id%7==0 ("changed"); everything else is
+    "unchanged". The oracle restates the full outer join over md5
+    fingerprints."""
+    from webextract.operators.urlnorm import crawl_diff
+    from webextract.sources.pages import page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    old = docs.filter(doc_id % 5 != 4).select(
+        page_url(doc_id).alias("url"), "text"
+    )
+    new = docs.filter(doc_id % 11 != 3).select(
+        page_url(doc_id).alias("url"),
+        F.when(doc_id % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # absent-side fingerprints surface as '' (not NULL) so the value
+    # hash is engine-portable; the operator itself keeps real NULLs
+    return crawl_diff(new, old).select(
+        "url",
+        "status",
+        F.coalesce("fp_new", F.lit("")).alias("fp_new"),
+        F.coalesce("fp_old", F.lit("")).alias("fp_old"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -684,6 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "latest_snapshot": q_latest_snapshot,
         "decontaminate": q_decontaminate,
+        "host_quota": q_host_quota,
+        "pack_chunks": q_pack_chunks,
+        "crawl_diff": q_crawl_diff,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -1101,6 +1173,51 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST(h.n_shared AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
                      AS overlap
             FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+        """,
+        "host_quota": f"""
+            WITH p AS (SELECT {_URL} AS url, CAST({_HOST} AS INTEGER) AS host
+                       FROM documents),
+            r AS (SELECT url, host,
+                         row_number() OVER (PARTITION BY host
+                           ORDER BY md5(url) ASC, url ASC) AS quota_rank
+                  FROM p)
+            SELECT url, host, CAST(quota_rank AS BIGINT) AS quota_rank
+            FROM r WHERE quota_rank <= 10
+        """,
+        "pack_chunks": """
+            WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents),
+            c AS (SELECT *,
+                         SUM(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_tok
+                  FROM t)
+            SELECT doc_id,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+                   CAST((end_tok - n_tokens) // 2048 AS BIGINT) AS first_chunk,
+                   CAST((end_tok - 1) // 2048 AS BIGINT) AS last_chunk,
+                   CAST((end_tok - n_tokens) % 2048 AS BIGINT) AS chunk_offset
+            FROM c
+        """,
+        "crawl_diff": f"""
+            WITH n AS (
+              SELECT {_URL} AS url,
+                     md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                              ELSE text END) AS fp_new
+              FROM documents WHERE doc_id % 11 <> 3),
+            o AS (
+              SELECT {_URL} AS url, md5(text) AS fp_old
+              FROM documents WHERE doc_id % 5 <> 4)
+            SELECT COALESCE(n.url, o.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'new'
+                        WHEN n.url IS NULL THEN 'deleted'
+                        WHEN fp_new = fp_old THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   COALESCE(fp_new, '') AS fp_new,
+                   COALESCE(fp_old, '') AS fp_old
+            FROM n FULL OUTER JOIN o ON n.url = o.url
         """,
         "token_stats": rf"""
             SELECT doc_id,

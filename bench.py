@@ -80,6 +80,9 @@ def main() -> None:
         "url_dedup",
         "latest_snapshot",
         "decontaminate",
+        "host_quota",
+        "pack_chunks",
+        "crawl_diff",
         "dedup_clusters",
         "dedup_simhash",
         "dedup_simhash_pairs",

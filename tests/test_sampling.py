@@ -1,0 +1,102 @@
+"""Corpus-shaping operators: per-host quota, chunk packing, crawl diff.
+
+The q:host_quota / q:pack_chunks / q:crawl_diff oracles pin the exact
+values at sf0.01; these tests pin the algorithmic claims the oracles
+cannot see — two-phase == one-window equality, partitioning
+invariance, and the per-shard stream invariants.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from webextract.operators.sampling import host_quota, pack_chunks
+from webextract.operators.urlnorm import crawl_diff
+
+
+def _pages(spark, n=400):
+    # planted skew: half of all rows on host 0, the rest spread thin
+    return spark.range(n).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 7)
+        .alias("host"),
+    )
+
+
+def test_host_quota_matches_single_window(spark):
+    """The two-phase salted plan must equal the naive one-window
+    semantics exactly (the phase-1 prune never drops a keeper)."""
+    pages = _pages(spark)
+    got = host_quota(pages, cap=5, n_salts=4).collect()
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col("url")).asc(), F.col("url").asc()
+    )
+    want = (
+        pages.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= 5)
+        .collect()
+    )
+    assert sorted(got) == sorted(want)
+
+
+def test_host_quota_cap_and_determinism(spark):
+    pages = _pages(spark)
+    a = host_quota(pages, cap=3).collect()
+    caps = {}
+    for r in a:
+        caps[r.host] = max(caps.get(r.host, 0), r.quota_rank)
+    assert all(v <= 3 for v in caps.values())
+    assert caps[0] == 3  # the hot host is actually capped
+    # physical partitioning must not change the selection
+    b = host_quota(pages.repartition(13), cap=3).collect()
+    assert sorted(a) == sorted(b)
+
+
+def test_pack_chunks_stream_invariants(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        # token counts 1..13 varying per doc
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.col("id") % 13), lambda i: i)
+        ).alias("text"),
+    )
+    rows = pack_chunks(docs, ctx=16, n_shards=4).collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard_rows in by_shard.values():
+        offset = 0
+        for r in shard_rows:
+            assert r.start_tok == offset  # contiguous concatenation
+            assert r.first_chunk == r.start_tok // 16
+            assert r.last_chunk == (r.start_tok + r.n_tokens - 1) // 16
+            assert r.chunk_offset == r.start_tok % 16
+            assert r.n_tokens >= 1
+            offset += r.n_tokens
+
+
+def test_crawl_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")], ["url", "text"]
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")], ["url", "text"]
+    )
+    got = {r.url: r.status for r in crawl_diff(new, old).collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "deleted",
+        "u4": "new",
+    }
+
+
+def test_crawl_diff_fingerprints_roundtrip(spark):
+    """fp columns are present exactly on the sides where the url
+    exists (the thin routing table downstream joins against)."""
+    old = spark.createDataFrame([("u1", "x")], ["url", "text"])
+    new = spark.createDataFrame([("u2", "y")], ["url", "text"])
+    rows = {r.url: r for r in crawl_diff(new, old).collect()}
+    assert rows["u1"].fp_new is None and rows["u1"].fp_old is not None
+    assert rows["u2"].fp_new is not None and rows["u2"].fp_old is None

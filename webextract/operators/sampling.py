@@ -1,0 +1,129 @@
+"""Corpus-shaping operators: per-host quotas and training-chunk packing.
+
+The steps between a deduped crawl and a training run: cap how much any
+one host may contribute (anti-domination — the corpus analog of the
+reference capping region proposals per image via ``max_candidates``,
+ppocr/postprocess/db_postprocess.py:32-45) and pack the surviving
+documents into fixed-token-budget training chunks (the concat-and-chunk
+layout every autoregressive trainer consumes — the batch-assembly
+analog of the reference's aspect-ratio-bucketed recognition batching,
+tools/infer/predict_rec.py:395-420).
+
+Everything is JVM built-ins (window functions + codegen expressions);
+no Python in either path. Each operator's exact semantics are stated in
+ANSI SQL by the DuckDB oracles in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# salt fan-out of the quota pre-rank (phase 1). 16 bounds any host's
+# phase-2 window input to 16*cap rows regardless of host size.
+QUOTA_SALTS = 16
+
+
+def host_quota(
+    df: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    key_col: str = "url",
+    n_salts: int = QUOTA_SALTS,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per host, deterministically — the
+    anti-domination sampler that stops giant hosts from swamping the
+    corpus. Selection is by ``(md5(key), key)`` ascending, so which
+    rows survive is a pure function of the data (stable under
+    repartitioning, restatable in SQL) → input columns +
+    ``quota_rank`` (1‥cap within each host).
+
+    Scale design — the naive single window per host is exactly what
+    does NOT survive the fixture's planted skew (half the corpus on
+    host0; at 10^12 docs a hot host holds ~10^11 rows, and one
+    ``row_number`` partition would sort all of them on one task).
+    Two-phase top-``cap`` instead:
+
+     1. rank within ``(host, salt)`` where ``salt = xxhash64(key) %
+        n_salts`` — deterministic from the key, so the result does not
+        depend on physical partitioning — and keep the local top
+        ``cap``. The hot host's sort fans out over ``n_salts`` tasks.
+     2. re-rank the ≤ ``n_salts * cap`` survivors per host and keep
+        the global top ``cap``.
+
+    Phase 2's window input is bounded by construction (never more than
+    ``n_salts * cap`` rows per host), so the hot-host sort that
+    dominates the naive plan becomes a constant-size merge. The
+    two-phase result equals the one-window result exactly: any row in
+    a host's global top-``cap`` is necessarily in its salt's local
+    top-``cap`` (ranks only shrink when rows are removed), so phase 1
+    never discards a final keeper — which is why the oracle can state
+    the semantics as ONE plain ``row_number``.
+    """
+    ordering = [F.md5(F.col(key_col)).asc(), F.col(key_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts))
+    local = Window.partitionBy(F.col(host_col), salt).orderBy(*ordering)
+    pre = (
+        df.withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= cap)
+        .drop("_lrank")
+    )
+    final = Window.partitionBy(host_col).orderBy(*ordering)
+    return (
+        pre.withColumn("quota_rank", F.row_number().over(final))
+        .filter(F.col("quota_rank") <= cap)
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    ctx: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk packing: lay the corpus out as ``n_shards``
+    independent token streams and cut each stream into ``ctx``-token
+    training chunks → (doc_id, shard, n_tokens, start_tok,
+    first_chunk, last_chunk, chunk_offset).
+
+    This is the standard autoregressive-pretraining layout: documents
+    are concatenated in a frozen order and the stream is split at the
+    context length, so a document knows exactly which chunk(s) its
+    tokens land in (``first_chunk``‥``last_chunk`` within its shard)
+    and at which offset the first one starts (``chunk_offset``).
+
+    Scale design: a single global concatenation order would serialize
+    the prefix-sum on one reducer — the one window shape that cannot
+    scale. Real packers write per-shard streams, so the shard IS the
+    semantic unit: ``shard = doc_id % n_shards`` (deterministic, no
+    data motion decides membership), the running token offset is a
+    cumulative sum windowed PER SHARD (parallelism = ``n_shards``;
+    size it to a few × cluster cores at deployment), and chunk ids are
+    pure arithmetic on the offsets inside codegen. One exchange on
+    ``shard`` total. Token count is the whitespace tokenization shared
+    with ``textstats`` (mirrored verbatim by the oracle).
+    """
+    doc_id = F.col(id_col)
+    shard = F.pmod(doc_id, F.lit(n_shards))
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(doc_id.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        doc_id,
+        shard.alias("shard"),
+        n_tokens.alias("n_tokens"),
+    ).withColumn("end_tok", F.sum("n_tokens").over(w))
+    start = F.col("end_tok") - F.col("n_tokens")
+    return staged.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start.alias("start_tok"),
+        F.floor(start / ctx).alias("first_chunk"),
+        F.floor((F.col("end_tok") - 1) / ctx).alias("last_chunk"),
+        F.pmod(start, F.lit(ctx)).alias("chunk_offset"),
+    )
