@@ -472,6 +472,35 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-frequency boilerplate strip over planted site templates: a
+    'Host N newsletter' banner on 3 of every 4 docs (host-frac ≈ 0.75
+    on host0, ≈ 0.5 on odd hosts — both over the 0.4 bar) and a rare
+    'Special offer today' line on every 10th doc (frac ≈ 0.2 on host0
+    — under the bar, must SURVIVE). The oracle restates the df rule
+    and the rebuild."""
+    from webextract.sources.pages import page_host
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    host = page_host(doc_id).cast("int")
+    banner = F.when(
+        doc_id % 4 != 1,
+        F.concat(
+            F.lit("Host "), host.cast("string"), F.lit(" newsletter. ")
+        ),
+    ).otherwise(F.lit(""))
+    promo = F.when(
+        doc_id % 10 == 0, F.lit("Special offer today. ")
+    ).otherwise(F.lit(""))
+    src = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(banner, promo, F.col("text")).alias("text"),
+    )
+    return dedup.host_boilerplate_strip(src)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -756,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quota": q_host_quota,
         "pack_chunks": q_pack_chunks,
         "crawl_diff": q_crawl_diff,
+        "host_boiler": q_host_boiler,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -1218,6 +1248,43 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    COALESCE(fp_new, '') AS fp_new,
                    COALESCE(fp_old, '') AS fp_old
             FROM n FULL OUTER JOIN o ON n.url = o.url
+        """,
+        "host_boiler": f"""
+            WITH src AS (
+              SELECT doc_id, CAST({_HOST} AS INTEGER) AS host,
+                     (CASE WHEN doc_id % 4 <> 1
+                           THEN 'Host ' || CAST({_HOST} AS VARCHAR)
+                                || ' newsletter. ' ELSE '' END)
+                     || (CASE WHEN doc_id % 10 = 0
+                              THEN 'Special offer today. ' ELSE '' END)
+                     || text AS text
+              FROM documents),
+            toks AS (SELECT doc_id, host, string_split(text, '. ') AS t
+                     FROM src),
+            l AS (SELECT doc_id, host, unnest(t) AS line,
+                         unnest(range(len(t))) AS line_no
+                  FROM toks),
+            hd AS (SELECT host, COUNT(*) AS host_docs FROM src
+                   GROUP BY host),
+            ldf AS (SELECT host, line,
+                           COUNT(DISTINCT doc_id) AS n_docs_with
+                    FROM l GROUP BY host, line),
+            b AS (SELECT ldf.host, ldf.line
+                  FROM ldf JOIN hd USING (host)
+                  WHERE n_docs_with >= 3
+                    AND n_docs_with / host_docs >= 0.4),
+            f AS (SELECT l.doc_id, l.line, l.line_no,
+                         (b.line IS NOT NULL) AS is_boiler
+                  FROM l LEFT JOIN b
+                    ON l.host = b.host AND l.line = b.line)
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                       '. ' ORDER BY line_no), '')
+                       AS clean_text,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_boiler
+            FROM f GROUP BY doc_id
         """,
         "token_stats": rf"""
             SELECT doc_id,

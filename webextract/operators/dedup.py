@@ -437,6 +437,78 @@ def line_dedup(
     )
 
 
+def host_boilerplate_strip(
+    docs: DataFrame,
+    sep: str = ". ",
+    min_df: int = 3,
+    min_frac: float = 0.4,
+    host_col: str = "host",
+) -> DataFrame:
+    """Host-frequency boilerplate removal (the CCNet/RefinedWeb rule):
+    a line is boilerplate ON A HOST when it appears in ≥ ``min_df``
+    docs AND ≥ ``min_frac`` of that host's docs — navigation footers,
+    newsletter banners, cookie notices that survive DOM-level
+    stripping because they are *content-positioned* on that site.
+    Docs are rebuilt from their non-boilerplate lines in original
+    order → (doc_id, clean_text, n_lines, n_boiler).
+
+    This is per-host C4: :func:`line_dedup` kills corpus-wide exact
+    repeats at all-but-first occurrence; this kills site-template
+    lines EVERYWHERE they occur, keyed by (host, line) so a sentence
+    that is boilerplate on one site survives as content on another.
+    The site-template analog of the reference's per-page boilerplate
+    classification (SKIP_TAGS subtree exclusion, functions/tokenizer).
+
+    Scale shape, all equi-key: the line df is a partial+final agg on
+    (host, line) — the hot host's lines spread across the line
+    dimension, so the planted host0 skew does NOT concentrate (unlike
+    a host-only key); per-host doc counts are a tiny rollup; the
+    boilerplate table is small BY CONSTRUCTION (only lines crossing
+    the host-frequency bar survive — a site has few templates), so
+    AQE turns the flag-back join into a broadcast at runtime; the
+    rebuild is the same groupBy(doc_id) as line_dedup. No Python
+    anywhere.
+    """
+    host = F.col(host_col)
+    lines = docs.select(
+        host_col,
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), re.escape(sep))).alias(
+            "line_no", "line"
+        ),
+    )
+    host_docs = docs.groupBy(host_col).agg(F.count("*").alias("host_docs"))
+    line_df = lines.groupBy(host_col, "line").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    boiler = (
+        line_df.join(host_docs, host_col)
+        .filter(
+            (F.col("n_docs_with") >= min_df)
+            & (F.col("n_docs_with") / F.col("host_docs") >= min_frac)
+        )
+        .select(host_col, "line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(boiler, [host_col, "line"], "left")
+    kept_struct = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("is_boiler").isNull(),
+                F.struct(F.col("line_no"), F.col("line")),
+            )
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(sep, F.transform(kept_struct, lambda x: x["line"])).alias(
+            "clean_text"
+        ),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)).alias(
+            "n_boiler"
+        ),
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 25, check_every: int = 3
 ) -> DataFrame:
