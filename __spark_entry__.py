@@ -472,6 +472,37 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-canonical (<link rel="canonical">) dedup: docs form
+    groups of 3 — members doc_id%3 ∈ {1,2} declare the group base
+    (doc_id - doc_id%3) as canonical, with a '#frag' spelling so the
+    normalizer must fire; bases declare nothing and fall back to
+    their own url. The oracle states the expected group urls directly
+    from the doc_id arithmetic (ground truth, not the rules)."""
+    from webextract.operators.urlnorm import dedup_by_canonical_link
+    from webextract.sources.pages import page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    base_url = page_url(doc_id - (doc_id % 3))
+    link = F.when(
+        doc_id % 3 != 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="'),
+            base_url,
+            F.lit('#frag">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), link, F.lit("</head><body>x</body></html>")
+    )
+    pages = docs.select(
+        page_url(doc_id).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return dedup_by_canonical_link(pages)
+
+
 def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-frequency boilerplate strip over planted site templates: a
     'Host N newsletter' banner on 3 of every 4 docs (host-frac ≈ 0.75
@@ -785,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quota": q_host_quota,
         "pack_chunks": q_pack_chunks,
         "crawl_diff": q_crawl_diff,
+        "canonical_link": q_canonical_link,
         "host_boiler": q_host_boiler,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1248,6 +1280,24 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    COALESCE(fp_new, '') AS fp_new,
                    COALESCE(fp_old, '') AS fp_old
             FROM n FULL OUTER JOIN o ON n.url = o.url
+        """,
+        "canonical_link": f"""
+            WITH p AS (
+              SELECT doc_id, {_URL} AS url,
+                     doc_id - (doc_id % 3) AS b
+              FROM documents),
+            g AS (
+              SELECT url,
+                     CASE WHEN doc_id % 3 <> 0 THEN
+                       'https://host' ||
+                       CAST(CASE WHEN b % 2 = 0 THEN 0
+                                 ELSE b % 37 END AS VARCHAR) ||
+                       '.example/doc/' || CAST(b AS VARCHAR)
+                     ELSE url END AS group_url
+              FROM p)
+            SELECT group_url, MIN(url) AS keeper,
+                   COUNT(*) AS n_members
+            FROM g GROUP BY group_url
         """,
         "host_boiler": f"""
             WITH src AS (

@@ -83,6 +83,7 @@ def main() -> None:
         "host_quota",
         "pack_chunks",
         "crawl_diff",
+        "canonical_link",
         "host_boiler",
         "dedup_clusters",
         "dedup_simhash",

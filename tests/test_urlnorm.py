@@ -90,3 +90,42 @@ def test_latest_snapshot_equal_ts_tiebreak_deterministic(spark):
     again = latest_snapshot(df).collect()
     assert first == again and len(first) == 1
     assert first[0].n_snapshots == 2
+
+
+def _page(url, html):
+    return (url, html.encode("utf-8"))
+
+
+def test_declared_canonical_falls_back_to_self(spark):
+    from webextract.operators.urlnorm import declared_canonical
+
+    rows = [
+        _page("https://s.example/a",
+              '<head><link rel="canonical" href="https://s.example/main">'
+              "</head>"),
+        _page("https://s.example/b", "<head></head>"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {r.url: r.group_url for r in declared_canonical(df).collect()}
+    assert got["https://s.example/a"] == "https://s.example/main"
+    assert got["https://s.example/b"] == "https://s.example/b"
+
+
+def test_declared_canonical_normalizes_target(spark):
+    """The declared href runs through the url rules (fragment, port,
+    trailing slash), so messy spellings of one target still collapse."""
+    from webextract.operators.urlnorm import dedup_by_canonical_link
+
+    rows = [
+        _page("https://s.example/p1",
+              '<link rel="canonical" href="https://s.example:443/main#x">'),
+        _page("https://s.example/p2",
+              '<link rel="canonical" href="https://s.example/main/">'),
+        _page("https://s.example/main", "<head></head>"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {r.group_url: (r.keeper, r.n_members)
+           for r in dedup_by_canonical_link(df).collect()}
+    assert got == {
+        "https://s.example/main": ("https://s.example/main", 3),
+    }

@@ -77,6 +77,49 @@ def dedup_by_url(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# the page's own canonical declaration (absolute href only — a
+# relative canonical needs base-url resolution, which the frozen
+# fixture never emits; extend with a resolver when a source does)
+CANONICAL_LINK_RE = r'<link rel="canonical" href="(https?://[^"]+)"'
+
+
+def declared_canonical(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, group_url): the dedup key each
+    page DECLARES. A ``<link rel="canonical">`` in the html wins;
+    pages that declare nothing fall back to their own url. Both
+    branches are normalized through :func:`canonical_url`, so rule-
+    level spellings of the declared target still collapse.
+
+    This is the second, orthogonal crawl-dedup signal: URL RULES
+    collapse spellings of one address; the canonical LINK collapses
+    *different* addresses (print views, mobile urls, pagination,
+    A/B slugs) that the site itself maps to one page. Map-only
+    codegen (one regexp over the decoded html) — fuses into the scan.
+    """
+    href = F.regexp_extract(
+        F.decode(F.col("html"), "UTF-8"), CANONICAL_LINK_RE, 1
+    )
+    declared = F.when(href == "", F.col("url")).otherwise(href)
+    return pages.select(
+        "url", canonical_url(declared).alias("group_url")
+    )
+
+
+def dedup_by_canonical_link(pages: DataFrame) -> DataFrame:
+    """Canonical-link dedup survey: one row per declared group with
+    the keeper (lexicographic-min member url) and the member count.
+    Same single-groupBy shape as :func:`dedup_by_url`; group sizes are
+    bounded by a site's alias fan-out (no skew story)."""
+    return (
+        declared_canonical(pages)
+        .groupBy("group_url")
+        .agg(
+            F.min("url").alias("keeper"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
 def latest_snapshot(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Latest-crawl-wins per url: keep exactly the newest snapshot row
     of every url (the CDX "latest capture" semantics a recrawled
