@@ -503,6 +503,38 @@ def q_canonical_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_canonical_link(pages)
 
 
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots meta policy parse over planted tags: doc_id%6==0 →
+    'noindex, nofollow', ==1 → 'NoIndex' (case + no-space variant),
+    ==2 → 'nofollow', ==3 → 'index, follow', else no tag. The oracle
+    states the expected booleans from the arithmetic — ground truth,
+    not the regex."""
+    from webextract.operators.urlnorm import page_policies
+    from webextract.sources.pages import page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    m = doc_id % 6
+    content = (
+        F.when(m == 0, F.lit("noindex, nofollow"))
+        .when(m == 1, F.lit("NoIndex"))
+        .when(m == 2, F.lit("nofollow"))
+        .when(m == 3, F.lit("index, follow"))
+    )
+    tag = F.when(
+        content.isNotNull(),
+        F.concat(F.lit('<meta name="robots" content="'), content, F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), tag, F.lit("</head><body>x</body></html>")
+    )
+    pages = docs.select(
+        page_url(doc_id).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return page_policies(pages)
+
+
 def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-frequency boilerplate strip over planted site templates: a
     'Host N newsletter' banner on 3 of every 4 docs (host-frac ≈ 0.75
@@ -817,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "crawl_diff": q_crawl_diff,
         "canonical_link": q_canonical_link,
+        "robots_policy": q_robots_policy,
         "host_boiler": q_host_boiler,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1298,6 +1331,12 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             SELECT group_url, MIN(url) AS keeper,
                    COUNT(*) AS n_members
             FROM g GROUP BY group_url
+        """,
+        "robots_policy": f"""
+            SELECT {_URL} AS url,
+                   doc_id % 6 IN (0, 1) AS noindex,
+                   doc_id % 6 IN (0, 2) AS nofollow
+            FROM documents
         """,
         "host_boiler": f"""
             WITH src AS (

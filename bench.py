@@ -84,6 +84,7 @@ def main() -> None:
         "pack_chunks",
         "crawl_diff",
         "canonical_link",
+        "robots_policy",
         "host_boiler",
         "dedup_clusters",
         "dedup_simhash",

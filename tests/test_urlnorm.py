@@ -129,3 +129,35 @@ def test_declared_canonical_normalizes_target(spark):
     assert got == {
         "https://s.example/main": ("https://s.example/main", 3),
     }
+
+
+def test_page_policies_token_exact(spark):
+    from webextract.operators.urlnorm import page_policies
+
+    rows = [
+        _page("u1", '<meta name="robots" content="noindex, nofollow">'),
+        _page("u2", '<meta name="robots" content=" NOINDEX ">'),
+        _page("u3", '<meta name="robots" content="no-noindex">'),
+        _page("u4", '<meta name="robots" content="index, follow">'),
+        _page("u5", "<head>no tag at all</head>"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {r.url: (r.noindex, r.nofollow) for r in page_policies(df).collect()}
+    assert got == {
+        "u1": (True, True),
+        "u2": (True, False),   # case + padding normalized
+        "u3": (False, False),  # token-exact, not substring
+        "u4": (False, False),
+        "u5": (False, False),  # indexable by default
+    }
+
+
+def test_filter_indexable_drops_optouts(spark):
+    from webextract.operators.urlnorm import filter_indexable
+
+    rows = [
+        _page("keep", "<head></head>"),
+        _page("drop", '<meta name="robots" content="noindex">'),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    assert [r.url for r in filter_indexable(df).collect()] == ["keep"]

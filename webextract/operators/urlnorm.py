@@ -120,6 +120,47 @@ def dedup_by_canonical_link(pages: DataFrame) -> DataFrame:
     )
 
 
+# page-declared robots policy (meta tag form; the crawler-side
+# robots.txt protocol is a fetch-time concern, out of a table engine's
+# scope — the meta tag is what survives INTO the crawl table)
+META_ROBOTS_RE = r'<meta name="robots" content="([^"]*)"'
+
+
+def page_policies(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, noindex, nofollow): the page's
+    declared robots policy, parsed from ``<meta name="robots">``.
+    Directive matching is token-exact after lowercasing and whitespace
+    strip (``content="noindex, nofollow"``), not substring — so a
+    hypothetical ``no-noindex`` never false-positives. Pages without
+    the tag are (false, false) — indexable by default, per the robots
+    meta convention.
+
+    The compliance gate of a training-data pipeline: pages that opt
+    out of indexing should not enter the corpus. Map-only codegen
+    (one regexp + array ops) that fuses into the scan; compose with a
+    ``filter(~noindex)`` before extraction so the pruned pages never
+    pay the Arrow crossing.
+    """
+    content = F.lower(
+        F.regexp_extract(F.decode(F.col("html"), "UTF-8"), META_ROBOTS_RE, 1)
+    )
+    toks = F.split(F.regexp_replace(content, r"\s+", ""), ",")
+    return pages.select(
+        "url",
+        F.array_contains(toks, "noindex").alias("noindex"),
+        F.array_contains(toks, "nofollow").alias("nofollow"),
+    )
+
+
+def filter_indexable(pages: DataFrame) -> DataFrame:
+    """Drop pages declaring ``noindex`` (inner-join the thin policy
+    table back on url — at the scan both branches prune to the used
+    columns, and Catalyst collapses the self-join of a cached pages
+    table; the survivors proceed to extraction)."""
+    keep = page_policies(pages).filter(~F.col("noindex")).select("url")
+    return pages.join(keep, "url")
+
+
 def latest_snapshot(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Latest-crawl-wins per url: keep exactly the newest snapshot row
     of every url (the CDX "latest capture" semantics a recrawled
