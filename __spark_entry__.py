@@ -33,7 +33,13 @@ from webextract.operators.extract import (
     salted_repartition,
     split_lineage,
 )
-from webextract.sources.pages import pages_from_documents, pages_with_tables
+from webextract.sources.pages import (
+    _TPL_HEAD,
+    _TPL_MID,
+    _TPL_TAIL,
+    pages_from_documents,
+    pages_with_tables,
+)
 
 EMB_DIM = 64
 
@@ -80,6 +86,25 @@ def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir)
     nparts = spark.sparkContext.defaultParallelism
     return extract_pages(salted_repartition(pages, nparts)).select("url", "text")
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source roundtrip: pages → framed WARC/1.0 segment blobs
+    (JVM concat + octet framing) → :func:`parse_warc` (one Arrow
+    crossing). The oracle rebuilds the page html from ``documents``
+    directly and states md5 + octet length — so a framing bug anywhere
+    (Content-Length arithmetic, CRLF placement, date format) breaks
+    the hash. Container-walk analog of ppocr/utils/utility.py:94-124."""
+    from webextract.sources.warc import parse_warc, synth_warc_segments
+
+    pages = pages_from_documents(spark, sf_dir)
+    parsed = parse_warc(synth_warc_segments(pages, n_segments=16))
+    return parsed.select(
+        "url",
+        "ts_s",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
 
 
 def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +846,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract": q_extract,
+        "warc_roundtrip": q_warc_roundtrip,
         "extract_lang_stats": q_extract_lang_stats,
         "topk_hosts": q_topk_hosts,
         "extract_blocks": q_extract_blocks,
@@ -892,6 +918,13 @@ _URL = (
 _EXTRACTED = (
     "'Document ' || CAST(doc_id AS VARCHAR) || ' from ' || source || "
     "chr(10) || chr(10) || text"
+)
+# the FULL synthesized page html (mirrors pages_from_documents exactly —
+# the template literals are interpolated from sources/pages.py, so the
+# two sides cannot drift apart)
+_PAGE_HTML = (
+    f"'{_TPL_HEAD}' || 'Document ' || CAST(doc_id AS VARCHAR) || "
+    f"' from ' || source || '{_TPL_MID}' || text || '{_TPL_TAIL}'"
 )
 
 _SHINGLES3 = """
@@ -1038,6 +1071,15 @@ FROM documents docs LEFT JOIN comp c USING (doc_id)
 def oracle_sql() -> dict[str, str]:
     return {
         "extract": f"SELECT {_URL} AS url, {_EXTRACTED} AS text FROM documents",
+        "warc_roundtrip": f"""
+            WITH h AS (SELECT {_URL} AS url,
+                              1704067200 + doc_id AS ts_s,
+                              {_PAGE_HTML} AS html
+                       FROM documents)
+            SELECT url, CAST(ts_s AS BIGINT) AS ts_s, md5(html) AS html_md5,
+                   CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes
+            FROM h
+        """,
         "extract_lang_stats": f"""
             WITH e AS (SELECT lang, {_EXTRACTED} AS text FROM documents)
             SELECT lang, COUNT(*) AS n_docs,
