@@ -560,6 +560,49 @@ def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_policies(pages)
 
 
+def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) language rebalancing over the documents
+    table's natural lang skew: per-lang keep-thresholds from
+    integer-sqrt weights, deterministic md5-prefix sampling. The
+    oracle restates the whole integer pipeline — sqrt is the one
+    IEEE-portable power (correctly rounded), everything else BIGINT."""
+    from webextract.operators.sampling import lang_rebalance
+
+    return lang_rebalance(_docs(spark, sf_dir))
+
+
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality buckets over planted text regimes:
+    doc_id%3==0 → degenerate fluent filler (head), ==2 → per-doc
+    gibberish, all OOV (tail), else natural text (middle). The unigram
+    model trains on the frozen reference slice doc_id%10==0; buckets
+    compare integer bits-per-kilotoken to the corpus mean (85%/110%
+    cross-multiplied BIGINTs — scale-free, no floats; see
+    webextract/operators/lm.py)."""
+    from webextract.operators.lm import lm_score, unigram_lm
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    m = doc_id % 3
+    gib = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.concat(
+                F.lit("zq"), doc_id.cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+    )
+    text = (
+        F.when(m == 0, F.concat(F.repeat(F.lit("aaa "), 100), F.lit("end")))
+        .when(m == 2, gib)
+        .otherwise(F.col("text"))
+    )
+    src = docs.select("doc_id", text.alias("text"))
+    lm = unigram_lm(src.filter(doc_id % 10 == 0))
+    return lm_score(src, lm)
+
+
 def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-frequency boilerplate strip over planted site templates: a
     'Host N newsletter' banner on 3 of every 4 docs (host-frac ≈ 0.75
@@ -876,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "canonical_link": q_canonical_link,
         "robots_policy": q_robots_policy,
+        "lm_buckets": q_lm_buckets,
+        "lang_rebalance": q_lang_rebalance,
         "host_boiler": q_host_boiler,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1379,6 +1424,57 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    doc_id % 6 IN (0, 1) AS noindex,
                    doc_id % 6 IN (0, 2) AS nofollow
             FROM documents
+        """,
+        "lang_rebalance": """
+            WITH c AS (SELECT lang, count(*) AS n_l FROM documents
+                       GROUP BY lang),
+            w AS (SELECT lang, n_l,
+                         CAST(floor(sqrt(n_l)) AS BIGINT) AS w_l FROM c),
+            tot AS (SELECT SUM(n_l) AS n_total, SUM(w_l) AS w_total FROM w),
+            thr AS (SELECT lang, n_l,
+                           (16777216 * (n_total // 2) * w_l)
+                             // (w_total * n_l) AS t_l
+                    FROM w, tot)
+            SELECT d.doc_id, d.lang, CAST(thr.n_l AS BIGINT) AS n_l,
+                   CAST(thr.t_l AS BIGINT) AS t_l,
+                   CAST(('0x' || substr(md5('lrs:' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+                     < thr.t_l AS kept
+            FROM documents d JOIN thr USING (lang)
+        """,
+        "lm_buckets": """
+            WITH src AS (
+              SELECT doc_id,
+                CASE doc_id % 3
+                  WHEN 0 THEN repeat('aaa ', 100) || 'end'
+                  WHEN 2 THEN array_to_string(list_transform(range(1, 31),
+                    i -> 'zq' || CAST(doc_id AS VARCHAR) || 'x' ||
+                         CAST(i AS VARCHAR)), ' ')
+                  ELSE text END AS text
+              FROM documents),
+            rt AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM src WHERE doc_id % 10 = 0),
+            lm AS (SELECT token, 32 - length(bin(count(*))) AS cost
+                   FROM rt GROUP BY token),
+            t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM src),
+            s AS (SELECT doc_id, count(*) AS n_tokens,
+                         SUM(COALESCE(cost, 32)) AS total_bits
+                  FROM t LEFT JOIN lm USING (token) GROUP BY doc_id),
+            b AS (SELECT doc_id, n_tokens, total_bits,
+                         (total_bits * 1000) // n_tokens AS bits_per_kt
+                  FROM s),
+            c AS (SELECT SUM(bits_per_kt) AS sum_bpkt, COUNT(*) AS n_docs
+                  FROM b)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(total_bits AS BIGINT) AS total_bits,
+                   CAST(bits_per_kt AS BIGINT) AS bits_per_kt,
+                   CASE WHEN bits_per_kt * n_docs * 100 < 85 * sum_bpkt
+                          THEN 'head'
+                        WHEN bits_per_kt * n_docs * 100 > 110 * sum_bpkt
+                          THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM b, c
         """,
         "host_boiler": f"""
             WITH src AS (

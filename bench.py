@@ -86,6 +86,8 @@ def main() -> None:
         "crawl_diff",
         "canonical_link",
         "robots_policy",
+        "lm_buckets",
+        "lang_rebalance",
         "host_boiler",
         "dedup_clusters",
         "dedup_simhash",

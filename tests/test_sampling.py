@@ -100,3 +100,37 @@ def test_crawl_diff_fingerprints_roundtrip(spark):
     rows = {r.url: r for r in crawl_diff(new, old).collect()}
     assert rows["u1"].fp_new is None and rows["u1"].fp_old is not None
     assert rows["u2"].fp_new is not None and rows["u2"].fp_old is None
+
+
+def test_lang_rebalance_flattens_and_is_deterministic(spark):
+    from webextract.operators.sampling import lang_rebalance
+
+    rows = [(i, "en" if i % 10 < 8 else "mi") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = lang_rebalance(docs).cache()
+    kept = {
+        r.lang: r.n for r in
+        out.filter("kept").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # α=0.5: expected kept ∝ sqrt(n_l) → 800-doc en and 200-doc mi
+    # end up within 2.2x of each other instead of 4x
+    assert kept["en"] < 2.2 * kept["mi"]
+    # minority language keeps a HIGHER fraction than the head language
+    assert kept["mi"] / 200 > kept["en"] / 800
+    # deterministic under physical layout changes
+    again = lang_rebalance(docs.repartition(13))
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_lang_rebalance_budget_divisor_scales_keep_rate(spark):
+    from webextract.operators.sampling import lang_rebalance
+
+    docs = spark.createDataFrame(
+        [(i, "aa" if i % 3 else "bb") for i in range(600)],
+        "doc_id long, lang string",
+    )
+    n2 = lang_rebalance(docs, budget_divisor=2).filter("kept").count()
+    n4 = lang_rebalance(docs, budget_divisor=4).filter("kept").count()
+    assert 0 < n4 < n2 < 600
+    # halved budget ≈ halved keeps (hash-uniform sampling)
+    assert abs(n4 * 2 - n2) < 0.2 * n2

@@ -127,3 +127,71 @@ def pack_chunks(
         F.floor((F.col("end_tok") - 1) / ctx).alias("last_chunk"),
         F.pmod(start, F.lit(ctx)).alias("chunk_offset"),
     )
+
+
+# uniform-hash resolution for lang_rebalance thresholds (24-bit keeps
+# every integer cross-product inside BIGINT up to ~10^10 docs/lang;
+# lift t_l's computation to DECIMAL beyond that)
+REBALANCE_U_BITS = 24
+
+
+def lang_rebalance(
+    docs: DataFrame,
+    budget_divisor: int = 2,
+    lang_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-resampled language mix (the XLM-R / mC4 α=0.5
+    schedule): sample language ``l`` at a rate making its expected
+    kept count ∝ ``sqrt(n_l)``, flattening the head language's
+    domination while keeping low-resource languages intact.
+
+    α is FROZEN at 0.5 because ``floor(sqrt(n))`` is the one power
+    that is bit-portable: IEEE-754 ``sqrt`` is correctly rounded (a
+    fully-specified operation, unlike ``ln``/``pow``), so Spark and
+    the SQL oracle floor the same double. Everything after that is
+    BIGINT arithmetic: with ``W = Σ floor(sqrt(n_l))`` and budget
+    ``B = n_total div budget_divisor``, a doc is kept iff
+
+        u < t_l,   t_l = (2^24 · B · w_l) div (W · n_l)
+
+    where ``u`` is the 24-bit integer prefix of ``md5('lrs:'||key)``
+    — a pure function of the data (stable under repartition/retry,
+    the same deterministic-sampling contract as sources/mixing.py).
+
+    Scale shape: per-lang counts are a tiny aggregate (≤ thousands of
+    rows at web scale) → thresholds broadcast back; the keep decision
+    is a codegen filter on the scan. One small shuffle total — no
+    window, no sort, no per-row Python.
+    """
+    counts = docs.groupBy(lang_col).agg(F.count("*").alias("n_l"))
+    w = counts.withColumn("w_l", F.floor(F.sqrt(F.col("n_l"))).cast("long"))
+    tot = w.agg(F.sum("n_l").alias("n_total"), F.sum("w_l").alias("w_total"))
+    thr = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            lang_col,
+            "n_l",
+            F.expr(
+                f"({1 << REBALANCE_U_BITS} * (n_total div {budget_divisor}) * w_l)"
+                " div (w_total * n_l)"
+            ).alias("t_l"),
+        )
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("lrs:"), F.col(key_col).cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(thr), lang_col)
+        .select(
+            key_col,
+            lang_col,
+            F.col("n_l"),
+            F.col("t_l"),
+            (u < F.col("t_l")).alias("kept"),
+        )
+    )
