@@ -560,6 +560,42 @@ def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_policies(pages)
 
 
+_SPAN_LICENSE = (
+    "this work is licensed under a creative commons attribution "
+    "share alike license"
+)
+_SPAN_NAV = (
+    "home about contact terms privacy related one related two "
+    "navigation menu footer"
+)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-substring removal over planted shared spans:
+    doc_id%4==0 docs share a 13-token license tail, ==1 share a
+    12-token nav head, the rest are natural text. The oracle restates
+    the full window-hash → repeated-df → gaps-and-islands → rebuild
+    chain in SQL, so span boundaries and the rebuilt text are
+    value-exact."""
+    from webextract.operators.dedup import span_dedup
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    text = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" " + _SPAN_LICENSE)))
+        .when(m == 1, F.concat(F.lit(_SPAN_NAV + " "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    out = span_dedup(docs.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "clean_text",
+    )
+
+
 def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (α=0.5) language rebalancing over the documents
     table's natural lang skew: per-lang keep-thresholds from
@@ -921,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_policy": q_robots_policy,
         "lm_buckets": q_lm_buckets,
         "lang_rebalance": q_lang_rebalance,
+        "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1424,6 +1461,60 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    doc_id % 6 IN (0, 1) AS noindex,
                    doc_id % 6 IN (0, 2) AS nofollow
             FROM documents
+        """,
+        "span_dedup": f"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN text || ' {_SPAN_LICENSE}'
+                  WHEN 1 THEN '{_SPAN_NAV} ' || text
+                  ELSE text END AS text
+              FROM documents),
+            t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src),
+            st AS (SELECT doc_id, toks,
+                          unnest(range(0, len(toks) - 7)) AS s
+                   FROM t WHERE len(toks) >= 8),
+            w AS (SELECT doc_id, s AS start,
+                         md5(array_to_string(
+                           list_slice(toks, s + 1, s + 8), ' ')) AS h
+                  FROM st),
+            rep AS (SELECT h FROM w GROUP BY h
+                    HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, start FROM w JOIN rep USING (h)),
+            isl AS (SELECT doc_id, start,
+                           MAX(start + 8) OVER (PARTITION BY doc_id
+                             ORDER BY start ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING) AS pe
+                    FROM hits),
+            isl2 AS (SELECT doc_id, start,
+                            SUM(CASE WHEN pe IS NULL OR start > pe
+                                     THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id ORDER BY start
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+                     FROM isl),
+            spans AS (SELECT doc_id, island, MIN(start) AS s,
+                             MAX(start) + 8 AS e
+                      FROM isl2 GROUP BY doc_id, island),
+            tok AS (SELECT doc_id, unnest(toks) AS tk,
+                           unnest(range(len(toks))) AS p
+                    FROM t),
+            kept AS (SELECT tok.doc_id, tk, p FROM tok
+                     WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                                       WHERE sp.doc_id = tok.doc_id
+                                         AND p >= sp.s AND p < sp.e)),
+            agg AS (SELECT doc_id,
+                           string_agg(tk, ' ' ORDER BY p) AS clean_text
+                    FROM kept GROUP BY doc_id),
+            rem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                           CAST(SUM(e - s) AS BIGINT) AS n_removed
+                    FROM spans GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   COALESCE(rem.n_spans, 0) AS n_spans,
+                   COALESCE(rem.n_removed, 0) AS n_removed,
+                   COALESCE(agg.clean_text, '') AS clean_text
+            FROM t LEFT JOIN rem USING (doc_id)
+                   LEFT JOIN agg USING (doc_id)
         """,
         "lang_rebalance": """
             WITH c AS (SELECT lang, count(*) AS n_l FROM documents

@@ -78,6 +78,7 @@ def main() -> None:
         "dedup_lsh_pairs",
         "dedup_jaccard_top",
         "dedup_lines",
+        "span_dedup",
         "url_dedup",
         "latest_snapshot",
         "decontaminate",

@@ -627,3 +627,115 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+SPAN_K = 8  # window length (tokens) for cross-doc substring removal
+
+
+def span_dedup(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_df: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring removal — the span-level
+    member of the dedup trio (doc-level minhash/simhash, line-level
+    C4, substring-level THIS). Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") build suffix arrays;
+    the distributed equivalent here is fixed-``k`` token windows:
+
+     1. per doc, hash every ``k``-token window (array ops in codegen:
+        ``transform`` over ``sequence``, ``md5(concat_ws(slice))`` —
+        no Python, no posexplode self-join),
+     2. a window hash occurring in ≥ ``min_df`` DISTINCT docs marks
+        all its occurrences (one groupBy on the hash + equi-join
+        back — never a pair join, so no quadratic blowup),
+     3. per doc, overlapping/adjacent marked windows merge into
+        maximal spans (gaps-and-islands window over doc-sized
+        partitions),
+     4. the doc is rebuilt without the spanned tokens (indexed
+        ``filter`` + ``exists`` over the broadcast-joined span list).
+
+    Returns (doc_id, n_tokens, n_spans, n_removed, clean_text).
+    Within-doc repetition is deliberately NOT removed (``df`` counts
+    distinct docs) — that's ``repetition_stats``'s job.
+
+    Scale notes: the window table is ~one row per corpus token — the
+    same order as the shingle tables the minhash path already
+    materializes; partial aggregation collapses it map-side before
+    the one hash-keyed shuffle. ``max_df`` is the hot-window guard
+    (degenerate boilerplate windows with df in the millions add join
+    volume but zero information — same knob as ngram_jaccard_pairs).
+    Fixed ``k`` trades the suffix array's any-length guarantee for
+    full distribution: any shared substring of ≥ 2k-1 tokens is
+    covered by at least one shared window, so spans ≥ that length
+    are always caught; shorter overlaps are caught exactly when
+    window-aligned.
+    """
+    toks = F.split(F.col(text_col), " ")
+    wins = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda s: F.struct(
+                s.alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(toks, s + 1, k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    win_rows = docs.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
+    )
+    df_ok = F.col("df") >= min_df
+    if max_df is not None:
+        df_ok = df_ok & (F.col("df") <= max_df)
+    rep = (
+        win_rows.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(df_ok)
+        .select("h")
+    )
+    hits = win_rows.join(rep, "h")
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + k).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn(
+            "new_island",
+            prev_end.isNull() | (F.col("start") > prev_end),
+        )
+        .withColumn(
+            "island",
+            F.sum(F.col("new_island").cast("int")).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s"),
+        F.max(F.col("start") + k).alias("e"),
+    )
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans")
+    )
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    sp = F.coalesce(F.col("spans"), empty)
+    covered = lambda i: F.exists(  # noqa: E731 — shared by two exprs
+        sp, lambda x: (i >= x["s"]) & (i < x["e"])
+    )
+    return docs.join(doc_spans, "doc_id", "left").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(
+            F.aggregate(
+                "spans", F.lit(0), lambda acc, x: acc + (x["e"] - x["s"])
+            ),
+            F.lit(0),
+        ).alias("n_removed"),
+        F.concat_ws(
+            " ", F.filter(toks, lambda x, i: ~covered(i))
+        ).alias("clean_text"),
+    )
