@@ -135,3 +135,31 @@ def test_streaming_dedup_watermarked_drain(spark, tmp_path):
     n_distinct = pages.select(F.md5("text")).distinct().count()
     assert streamed.count() == n_distinct
     assert streamed.select("content_h").distinct().count() == n_distinct
+
+
+def test_streaming_warc_ingest_drain_matches_batch(spark, tmp_path):
+    from webextract.operators.extract import extract_pages
+    from webextract.sources.warc import synth_warc_segments
+    from webextract.streaming.warc_stream import run_warc_extract_stream
+
+    inp = str(tmp_path / "warc_in")
+    out = str(tmp_path / "warc_out")
+    ckpt = str(tmp_path / "warc_ckpt")
+    os.makedirs(inp)
+    pages = pages_from_documents(spark, SF)
+    for r in synth_warc_segments(pages, n_segments=6).collect():
+        with open(f"{inp}/seg-{r.segment_id}.warc", "wb") as f:
+            f.write(bytes(r.payload))
+
+    run_warc_extract_stream(spark, inp, out, ckpt)
+
+    streamed = spark.read.parquet(out)
+    assert streamed.count() == 500
+    batch = extract_pages(pages).select("url", "text")
+    j = streamed.select("url", F.col("text").alias("stext")).join(batch, "url")
+    assert j.count() == 500
+    assert j.filter(F.col("stext") != F.col("text")).count() == 0
+
+    # exactly-once: re-drain adds nothing
+    run_warc_extract_stream(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 500
