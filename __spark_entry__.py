@@ -23,9 +23,11 @@ from webextract.operators import (
     events,
     metrics,
     multimodal,
+    pagemeta,
     similarity,
     tables,
     textstats,
+    vocab,
 )
 from webextract.operators.extract import (
     extract_pages,
@@ -668,6 +670,41 @@ def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.host_boilerplate_strip(src)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (the BPE/unigram vocab-cut frequency
+    table). Spread input: the word explode is the heavy stage."""
+    return vocab.vocab_topk(_docs_spread(spark, sf_dir))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists capped at the 16 smallest doc_ids per word via a
+    pre-collection WindowGroupLimit — no unbounded collect_set."""
+    return vocab.inverted_index(_docs_spread(spark, sf_dir))
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords ranked by integer-quantized TF-IDF
+    (tf * ((1000 * N) DIV df)) so the rank order is hash-portable
+    where ln()-based doubles are not."""
+    return vocab.tfidf_keywords(_docs_spread(spark, sf_dir))
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (token-exact, not substring): count of
+    blocklisted occurrences + keep verdict, zero shuffles."""
+    return vocab.blocklist_filter(_docs(spark, sf_dir))
+
+
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title / meta-description / h1 / anchor-count off raw html bytes,
+    pure codegen. The oracle states the fields from the doc_id
+    arithmetic of the frozen page template (ground truth, not a regex
+    mirror): title is the template's literal 'doc ', h1 is the
+    headline, no meta description exists (NULL), and the boilerplate
+    carries exactly 7 anchors."""
+    return pagemeta.page_meta(pages_from_documents(spark, sf_dir))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -959,6 +996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rebalance": q_lang_rebalance,
         "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
+        "vocab_topk": q_vocab_topk,
+        "inverted_index": q_inverted_index,
+        "tfidf_keywords": q_tfidf_keywords,
+        "blocklist": q_blocklist,
+        "page_meta": q_page_meta,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -1603,6 +1645,81 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_boiler
             FROM f GROUP BY doc_id
+        """,
+        "vocab_topk": f"""
+            WITH g AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text),
+                                     '{vocab.WORD_REGEX}')) AS word
+                       FROM documents),
+            grid AS (SELECT doc_id, word, COUNT(*) AS tf
+                     FROM g GROUP BY doc_id, word),
+            tot AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+                           COUNT(*) AS n_docs
+                    FROM grid GROUP BY word),
+            r AS (SELECT *, row_number() OVER
+                         (ORDER BY n_occurrences DESC, word ASC) AS rank
+                  FROM tot)
+            SELECT rank, word, n_occurrences, n_docs FROM r WHERE rank <= 20
+        """,
+        "inverted_index": f"""
+            WITH g AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text),
+                                     '{vocab.WORD_REGEX}')) AS word
+                       FROM documents),
+            grid AS (SELECT doc_id, word, COUNT(*) AS tf
+                     FROM g GROUP BY doc_id, word),
+            dfs AS (SELECT word, COUNT(*) AS df FROM grid GROUP BY word),
+            capped AS (SELECT word, doc_id, row_number() OVER
+                              (PARTITION BY word ORDER BY doc_id ASC) AS pos
+                       FROM grid),
+            posts AS (SELECT word,
+                             array_to_string(list_sort(list(doc_id)), ',')
+                                 AS postings
+                      FROM capped WHERE pos <= 16 GROUP BY word)
+            SELECT dfs.word, dfs.df, posts.postings
+            FROM dfs JOIN posts USING (word)
+        """,
+        "tfidf_keywords": f"""
+            WITH g AS (SELECT doc_id,
+                              unnest(regexp_extract_all(lower(text),
+                                     '{vocab.WORD_REGEX}')) AS word
+                       FROM documents),
+            grid AS (SELECT doc_id, word, COUNT(*) AS tf
+                     FROM g GROUP BY doc_id, word),
+            dfs AS (SELECT word, COUNT(*) AS df FROM grid GROUP BY word),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (SELECT grid.doc_id, grid.word, grid.tf, dfs.df,
+                              grid.tf * (({vocab.IDF_SCALE} * n.n_docs) // dfs.df)
+                                  AS score
+                       FROM grid JOIN dfs USING (word) CROSS JOIN n),
+            r AS (SELECT doc_id, word, tf, df, row_number() OVER
+                         (PARTITION BY doc_id
+                          ORDER BY score DESC, word ASC) AS rank
+                  FROM scored)
+            SELECT doc_id, rank, word, tf, df FROM r WHERE rank <= 3
+        """,
+        "blocklist": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                  '{vocab.WORD_REGEX}') AS w
+                       FROM documents)
+            SELECT doc_id,
+                   len(list_filter(w, t -> t IN
+                       ({", ".join(repr(s) for s in vocab.BLOCKLIST)})))
+                       AS n_blocked,
+                   len(list_filter(w, t -> t IN
+                       ({", ".join(repr(s) for s in vocab.BLOCKLIST)}))) = 0
+                       AS keep
+            FROM t
+        """,
+        "page_meta": f"""
+            SELECT {_URL} AS url,
+                   'doc ' AS title,
+                   CAST(NULL AS VARCHAR) AS meta_description,
+                   'Document ' || CAST(doc_id AS VARCHAR) || ' from ' || source
+                       AS h1,
+                   7 AS n_links
+            FROM documents
         """,
         "token_stats": rf"""
             SELECT doc_id,

@@ -90,6 +90,11 @@ def main() -> None:
         "lm_buckets",
         "lang_rebalance",
         "host_boiler",
+        "vocab_topk",
+        "inverted_index",
+        "tfidf_keywords",
+        "blocklist",
+        "page_meta",
         "dedup_clusters",
         "dedup_simhash",
         "dedup_simhash_pairs",

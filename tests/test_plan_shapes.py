@@ -126,3 +126,30 @@ def test_ivf_probe_plan_has_no_cartesian_on_corpus(spark):
     plan = plan_of(probes)
     # centroid side is broadcast (bounded by n_lists), never shuffled
     assert "BroadcastExchange" in plan
+
+
+def test_vocab_topk_distributed_topk_with_partial_agg(spark):
+    plan = plan_of(entrymod.q_vocab_topk(spark, SF), execute=True)
+    assert "TakeOrderedAndProject" in plan   # never a global sort
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_inverted_index_caps_before_collection(spark):
+    # the postings cap must prune map-side (WindowGroupLimit), so a
+    # hot word never materializes an unbounded aggregation buffer
+    plan = plan_of(entrymod.q_inverted_index(spark, SF), execute=True)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocklist_is_pure_map_stage(spark):
+    plan = plan_of(entrymod.q_blocklist(spark, SF))
+    assert "Exchange" not in plan            # zero shuffles
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_page_meta_is_pure_map_stage(spark):
+    plan = plan_of(entrymod.q_page_meta(spark, SF))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,111 @@
+"""Vocabulary / indexing / relevance operators (operators/vocab.py)
+and page-metadata extraction (operators/pagemeta.py)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from webextract.operators import pagemeta, vocab
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)]
+    )
+
+
+def test_vocab_topk_counts_and_rank_ties(spark):
+    docs = _docs(spark, ["b b a", "a b", "c A"])
+    out = {r["word"]: r for r in vocab.vocab_topk(docs, k=10).collect()}
+    assert out["b"]["n_occurrences"] == 3 and out["b"]["n_docs"] == 2
+    assert out["a"]["n_occurrences"] == 3 and out["a"]["n_docs"] == 3
+    # tie on n_occurrences=3 breaks alphabetically: a before b
+    assert out["a"]["rank"] == 1 and out["b"]["rank"] == 2
+    assert out["c"]["rank"] == 3
+
+
+def test_vocab_topk_limits_to_k(spark):
+    docs = _docs(spark, ["a b c d e f"])
+    assert vocab.vocab_topk(docs, k=3).count() == 3
+
+
+def test_inverted_index_caps_and_sorts_postings(spark):
+    docs = _docs(spark, ["common"] * 6 + ["common rare"])
+    out = {r["word"]: r for r in vocab.inverted_index(docs, postings_cap=3).collect()}
+    assert out["common"]["df"] == 7          # exact df, beyond the cap
+    assert out["common"]["postings"] == "0,1,2"  # 3 smallest doc_ids
+    assert out["rare"]["df"] == 1 and out["rare"]["postings"] == "6"
+
+
+def test_tfidf_ranks_rare_words_first(spark):
+    docs = _docs(spark, ["shared zebra", "shared", "shared", "shared"])
+    top = {
+        r["doc_id"]: r["word"]
+        for r in vocab.tfidf_keywords(docs, k=1).collect()
+    }
+    # in doc 0, 'zebra' (df=1) outranks 'shared' (df=4) at equal tf
+    assert top[0] == "zebra"
+    assert top[1] == "shared"
+
+
+def test_tfidf_tf_breaks_idf_and_word_breaks_score(spark):
+    docs = _docs(spark, ["big big small", "big small"])
+    rows = vocab.tfidf_keywords(docs, k=2).filter(F.col("doc_id") == 0).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    # both words have df=2 → equal idf; tf=2 for 'big' wins rank 1
+    assert by_rank[1]["word"] == "big" and by_rank[1]["tf"] == 2
+    assert by_rank[2]["word"] == "small"
+    rows1 = vocab.tfidf_keywords(docs, k=2).filter(F.col("doc_id") == 1).collect()
+    # doc 1: identical tf and df → alphabetical tie-break
+    assert [r["word"] for r in sorted(rows1, key=lambda r: r["rank"])] == [
+        "big",
+        "small",
+    ]
+
+
+def test_blocklist_is_token_exact_not_substring(spark):
+    docs = _docs(spark, ["duplicate rows here", "dup dup here", "clean text"])
+    out = {r["doc_id"]: r for r in vocab.blocklist_filter(docs).collect()}
+    assert out[0]["n_blocked"] == 0 and out[0]["keep"]       # 'duplicate' != 'dup'
+    assert out[1]["n_blocked"] == 2 and not out[1]["keep"]
+    assert out[2]["n_blocked"] == 0 and out[2]["keep"]
+
+
+def test_blocklist_case_folds(spark):
+    docs = _docs(spark, ["SPAM Casino DUP"])
+    assert vocab.blocklist_filter(docs).first()["n_blocked"] == 3
+
+
+def _pages(spark, htmls):
+    return spark.createDataFrame(
+        [Row(url=f"u{i}", html=h.encode()) for i, h in enumerate(htmls)]
+    )
+
+
+def test_page_meta_extracts_all_fields(spark):
+    html = (
+        '<html><head><title lang="en">My\nTitle</title>'
+        '<meta name="description" content="A summary."></head>'
+        '<body><h1 class="x">Head <em>one</em></h1>'
+        '<a href="/1">x</a><a>y</a><abbr>not a link</abbr></body></html>'
+    )
+    r = pagemeta.page_meta(_pages(spark, [html])).first()
+    assert r["title"] == "My\nTitle"                 # DOTALL across newline
+    assert r["meta_description"] == "A summary."
+    assert r["h1"] == "Head <em>one</em>"            # stops at first </h1>
+    assert r["n_links"] == 2                         # <abbr doesn't count
+
+
+def test_page_meta_missing_fields_are_null(spark):
+    r = pagemeta.page_meta(_pages(spark, ["<html><body>no head</body></html>"])).first()
+    assert r["title"] is None
+    assert r["meta_description"] is None
+    assert r["h1"] is None
+    assert r["n_links"] == 0
+
+
+def test_page_meta_first_match_wins(spark):
+    html = "<title>first</title><title>second</title><h1>a</h1><h1>b</h1>"
+    r = pagemeta.page_meta(_pages(spark, [html])).first()
+    assert r["title"] == "first" and r["h1"] == "a"
