@@ -670,6 +670,15 @@ def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.host_boilerplate_strip(src)
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5 bucket (98/1/1):
+    a pure function of the row, so assignments survive recrawls,
+    retries and repartitioning. Pure map stage."""
+    from webextract.operators.sampling import split_assign
+
+    return split_assign(_docs(spark, sf_dir)).select("doc_id", "bucket", "split")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k (the BPE/unigram vocab-cut frequency
     table). Spread input: the word explode is the heavy stage."""
@@ -996,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rebalance": q_lang_rebalance,
         "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
+        "split_assign": q_split_assign,
         "vocab_topk": q_vocab_topk,
         "inverted_index": q_inverted_index,
         "tfidf_keywords": q_tfidf_keywords,
@@ -1646,6 +1656,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                        AS n_boiler
             FROM f GROUP BY doc_id
         """,
+        "split_assign": _split_assign_sql(),
         "vocab_topk": f"""
             WITH g AS (SELECT doc_id,
                               unnest(regexp_extract_all(lower(text),
@@ -2091,4 +2102,27 @@ def _langid_sql() -> str:
         WITH b AS (SELECT doc_id, lang, {", ".join(counts)} FROM documents),
         m AS (SELECT *, {best} AS best FROM b)
         SELECT doc_id, lang, {pred} AS pred_lang, {cols} FROM m
+    """
+
+
+def _split_assign_sql() -> str:
+    """train/val/test CASE generated from the same frozen thresholds
+    the operator uses (sampling.SPLIT_THRESHOLDS) — the two sides
+    cannot drift apart."""
+    from webextract.operators.sampling import SPLIT_SALT, SPLIT_THRESHOLDS
+
+    arms = " ".join(
+        f"WHEN bucket < {cum} THEN '{name}'"
+        for name, cum in SPLIT_THRESHOLDS[:-1]
+    )
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('{SPLIT_SALT}' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                     AS bucket
+          FROM documents)
+        SELECT doc_id, bucket,
+               CASE {arms} ELSE '{SPLIT_THRESHOLDS[-1][0]}' END AS split
+        FROM b
     """

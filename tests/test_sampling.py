@@ -134,3 +134,40 @@ def test_lang_rebalance_budget_divisor_scales_keep_rate(spark):
     assert 0 < n4 < n2 < 600
     # halved budget ≈ halved keeps (hash-uniform sampling)
     assert abs(n4 * 2 - n2) < 0.2 * n2
+
+
+def test_split_assign_partitions_and_is_stable(spark):
+    from webextract.operators.sampling import split_assign
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(docs)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # ~98/1/1 with hash noise
+    assert counts["train"] > 1900
+    assert 1 <= counts["val"] <= 60 and 1 <= counts["test"] <= 60
+
+    # assignment is a pure function of the key: repartitioning (and by
+    # extension retries / different cluster layouts) cannot move a doc
+    again = split_assign(docs.repartition(7))
+    joined = out.select("doc_id", F.col("split").alias("a")).join(
+        again.select("doc_id", F.col("split").alias("b")), "doc_id")
+    assert joined.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_split_assign_respects_custom_thresholds(spark):
+    from webextract.operators.sampling import split_assign
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = split_assign(docs, thresholds=(("a", 500), ("b", 1000)))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"a", "b"}
+    # bucket < 500 maps to a, rest to b — verify against the bucket col
+    bad = out.filter(
+        ((F.col("bucket") < 500) & (F.col("split") != "a"))
+        | ((F.col("bucket") >= 500) & (F.col("split") != "b"))
+    ).count()
+    assert bad == 0

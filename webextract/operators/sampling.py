@@ -195,3 +195,50 @@ def lang_rebalance(
             (u < F.col("t_l")).alias("kept"),
         )
     )
+
+
+# frozen train/val/test per-mille thresholds (cumulative): 98/1/1 —
+# mirrored in the oracle SQL; change BOTH or neither.
+SPLIT_THRESHOLDS: tuple[tuple[str, int], ...] = (
+    ("train", 980),
+    ("val", 990),
+    ("test", 1000),
+)
+SPLIT_SALT = "split:"
+
+
+def split_assign(
+    docs: DataFrame,
+    key: str = "doc_id",
+    salt: str = SPLIT_SALT,
+    thresholds: tuple[tuple[str, int], ...] = SPLIT_THRESHOLDS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash bucket.
+
+    The held-out-split analog of the reference's train/eval label-file
+    split (configs point ``Train.dataset.label_file_list`` and
+    ``Eval.dataset.label_file_list`` at disjoint files) — except at
+    10^12 docs the split must be a pure function of the row, not a
+    file layout: md5(salt || key) % 1000 lands every document in the
+    same split forever, on any cluster, in any partition order, and
+    new documents join splits in the same proportions without
+    reshuffling old ones. Same hash-not-RNG rationale as
+    sources/mixing.py.
+
+    Pure map stage (no shuffle); bucket + split are returned so
+    downstream filters stay codegen predicates.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    expr = F.lit(thresholds[-1][0])
+    for name, cum in reversed(thresholds[:-1]):
+        expr = F.when(F.col("bucket") < cum, F.lit(name)).otherwise(expr)
+    return docs.withColumn("bucket", bucket).withColumn("split", expr)
