@@ -684,8 +684,14 @@ def span_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
-    win_rows = docs.select("doc_id", F.explode(wins).alias("w")).select(
-        "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
+    # the window-hash projection (an md5 per corpus token) feeds TWO
+    # plan branches (the df rollup and the join back) — checkpoint it
+    # once or Catalyst re-derives the explode per branch (the same
+    # lesson as the shingle table in ngram_jaccard_pairs)
+    win_rows = (
+        docs.select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+        .localCheckpoint(eager=False)
     )
     df_ok = F.col("df") >= min_df
     if max_df is not None:
