@@ -670,6 +670,66 @@ def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.host_boilerplate_strip(src)
 
 
+# frozen outline shapes for q_document_outline: doc_id%3 picks one;
+# '#' in a heading is replaced by the doc_id (so values vary per doc).
+# Each row is (pos, level, heading, parent_pos) — the GROUND TRUTH the
+# oracle states verbatim; the html builder below renders the same rows.
+_OUTLINE_SHAPES: dict[int, tuple[tuple[int, int, str, int | None], ...]] = {
+    0: (
+        (0, 1, "Intro #", None),
+        (1, 2, "Background", 0),
+        (2, 2, "Methods", 0),
+        (3, 3, "Data", 2),
+        (4, 2, "Results", 0),
+    ),
+    1: (
+        (0, 2, "Orphan", None),   # h2 before any h1 → no parent
+        (1, 1, "Title #", None),
+        (2, 3, "Deep", 1),        # h3 skips a level → parent is the h1
+        (3, 2, "Side", 1),
+    ),
+    2: ((0, 1, "Solo #", None),),
+}
+
+
+def q_document_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-tree recovery over three planted outline shapes
+    (including an orphan h2 before any h1 and an h3 that skips a
+    level). The oracle states the (pos, level, heading, parent_pos)
+    rows directly from the doc_id arithmetic — ground truth, not a
+    regex mirror. One heading per shape carries the doc_id so values
+    vary per document."""
+    from webextract.operators.pagemeta import document_outline
+    from webextract.sources.pages import page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+
+    def render(shape: tuple):
+        parts = [F.lit("<html><body>")]
+        for _pos, level, heading, _par in shape:
+            if "#" in heading:
+                pre, post = heading.split("#", 1)
+                body = F.concat(F.lit(pre), doc_id.cast("string"), F.lit(post))
+            else:
+                body = F.lit(heading)
+            parts.append(F.lit(f'<h{level} class="s">'))
+            parts.append(body)
+            parts.append(F.lit(f"</h{level}><p>filler text</p>"))
+        parts.append(F.lit("</body></html>"))
+        return F.concat(*parts)
+
+    html = (
+        F.when(doc_id % 3 == 0, render(_OUTLINE_SHAPES[0]))
+        .when(doc_id % 3 == 1, render(_OUTLINE_SHAPES[1]))
+        .otherwise(render(_OUTLINE_SHAPES[2]))
+    )
+    pages = docs.select(
+        page_url(doc_id).alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return document_outline(pages)
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5 bucket (98/1/1):
     a pure function of the row, so assignments survive recrawls,
@@ -1005,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rebalance": q_lang_rebalance,
         "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
+        "document_outline": q_document_outline,
         "split_assign": q_split_assign,
         "vocab_topk": q_vocab_topk,
         "inverted_index": q_inverted_index,
@@ -1656,6 +1717,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                        AS n_boiler
             FROM f GROUP BY doc_id
         """,
+        "document_outline": _document_outline_sql(),
         "split_assign": _split_assign_sql(),
         "vocab_topk": f"""
             WITH g AS (SELECT doc_id,
@@ -2125,4 +2187,25 @@ def _split_assign_sql() -> str:
         SELECT doc_id, bucket,
                CASE {arms} ELSE '{SPLIT_THRESHOLDS[-1][0]}' END AS split
         FROM b
+    """
+
+
+def _document_outline_sql() -> str:
+    """Ground-truth outline rows generated from the SAME frozen shape
+    table the Spark query renders (_OUTLINE_SHAPES) — '#' becomes the
+    doc_id, parent positions are stated, never recomputed."""
+    rows = []
+    for m, shape in _OUTLINE_SHAPES.items():
+        for pos, level, heading, par in shape:
+            par_sql = "CAST(NULL AS INTEGER)" if par is None else str(par)
+            rows.append(f"({m}, {pos}, {level}, {heading!r}, {par_sql})")
+    values = ",\n                   ".join(rows)
+    return f"""
+        WITH shape(m, pos, level, heading_t, parent_pos) AS (
+            VALUES {values})
+        SELECT {_URL} AS url, shape.pos, shape.level,
+               replace(shape.heading_t, '#', CAST(doc_id AS VARCHAR))
+                   AS heading,
+               shape.parent_pos
+        FROM documents JOIN shape ON shape.m = doc_id % 3
     """

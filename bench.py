@@ -90,6 +90,7 @@ def main() -> None:
         "lm_buckets",
         "lang_rebalance",
         "host_boiler",
+        "document_outline",
         "split_assign",
         "vocab_topk",
         "inverted_index",

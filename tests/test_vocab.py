@@ -109,3 +109,39 @@ def test_page_meta_first_match_wins(spark):
     html = "<title>first</title><title>second</title><h1>a</h1><h1>b</h1>"
     r = pagemeta.page_meta(_pages(spark, [html])).first()
     assert r["title"] == "first" and r["h1"] == "a"
+
+
+def _outline(spark, html):
+    rows = pagemeta.document_outline(_pages(spark, [html])).collect()
+    return sorted(
+        [(r["pos"], r["level"], r["heading"], r["parent_pos"]) for r in rows]
+    )
+
+
+def test_outline_nesting_and_level_skip(spark):
+    html = (
+        "<h1>A</h1><p>x</p><h2>B</h2><h4>C</h4>"  # h4 skips h3 → parent h2
+        "<h2>D</h2><h3>E</h3><h1>F</h1><h3>G</h3>"
+    )
+    assert _outline(spark, html) == [
+        (0, 1, "A", None),
+        (1, 2, "B", 0),
+        (2, 4, "C", 1),
+        (3, 2, "D", 0),
+        (4, 3, "E", 3),
+        (5, 1, "F", None),
+        (6, 3, "G", 5),   # parent is the NEW h1, not stale earlier h2s
+    ]
+
+
+def test_outline_orphan_and_empty(spark):
+    assert _outline(spark, "<h3>lost</h3><h1>root</h1>") == [
+        (0, 3, "lost", None),
+        (1, 1, "root", None),
+    ]
+    assert _outline(spark, "<p>no headings</p>") == []
+
+
+def test_outline_attrs_and_inline_markup(spark):
+    html = '<h2 id="s1" class="big">Hi <em>there</em></h2>'
+    assert _outline(spark, html) == [(0, 2, "Hi <em>there</em>", None)]

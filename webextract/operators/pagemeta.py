@@ -49,3 +49,49 @@ def page_meta(pages: DataFrame) -> DataFrame:
         _nullif_empty(F.regexp_extract(html, H1_RE, 1)).alias("h1"),
         F.size(F.regexp_extract_all(html, F.lit(ANCHOR_RE), 0)).alias("n_links"),
     )
+
+
+HEADING_RE = r"(?is)<h[1-6][^>]*>.*?</h[1-6]>"
+_HEADING_BODY_RE = r"(?is)^<h[1-6][^>]*>(.*)</h[1-6]>$"
+
+
+def document_outline(pages: DataFrame) -> DataFrame:
+    """(url, pos, level, heading, parent_pos) — the document's heading
+    tree in reading order, each heading linked to its nearest earlier
+    ancestor of strictly smaller level (h1 under nothing, h3 under the
+    last h2/h1 before it, an orphan h2 before any h1 under nothing).
+
+    The section-hierarchy analog of PP-Structure's layout tree
+    (ppstructure/predict_system.py:111-117 emits typed title regions;
+    recovering their nesting is this operator). All codegen: one
+    regexp_extract_all + posexplode, then FIVE window aggregates that
+    share a single Window node (same partition/order spec) computing
+    "last position of level k before me" for k = 1..5 — parent_pos is
+    a CASE over their running maxima, so no self-join and no
+    quadratic ancestor search. One shuffle on url, heading lists are
+    per-page bounded.
+    """
+    from pyspark.sql.window import Window
+
+    html = F.decode(F.col("html"), "UTF-8")
+    matches = F.regexp_extract_all(html, F.lit(HEADING_RE), 0)
+    ex = pages.select("url", F.posexplode(matches).alias("pos", "m"))
+    base = ex.select(
+        "url",
+        "pos",
+        F.substring("m", 3, 1).cast("int").alias("level"),
+        F.regexp_extract(F.col("m"), _HEADING_BODY_RE, 1).alias("heading"),
+    )
+    w = Window.partitionBy("url").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lp = {
+        k: F.max(F.when(F.col("level") == k, F.col("pos"))).over(w)
+        for k in range(1, 6)
+    }
+    cands = {k: F.coalesce(lp[k], F.lit(-1)) for k in range(1, 6)}
+    parent = F.when(F.col("level") == 1, F.lit(None).cast("int"))
+    for lev in range(2, 7):
+        g = cands[1] if lev == 2 else F.greatest(*[cands[k] for k in range(1, lev)])
+        parent = parent.when(F.col("level") == lev, F.nullif(g, F.lit(-1)))
+    return base.select("url", "pos", "level", "heading", parent.alias("parent_pos"))
