@@ -670,6 +670,37 @@ def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.host_boilerplate_strip(src)
 
 
+def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse + longest-match URL verdicts over planted
+    per-host policies: every host carries a googlebot stanza that must
+    NOT apply; host%3==0 adds a '*' stanza (Disallow /doc/1, Allow
+    /doc/12 — so ids starting '12' exercise allow-beats-disallow at
+    longer match), host%3==1 has no '*' stanza, host%3==2 stacks
+    'User-agent: bot' + 'User-agent: *' over 'Disallow: /' (stanza
+    sharing). The oracle states every verdict from the doc_id
+    arithmetic — ground truth, not a parser mirror."""
+    from webextract.operators.robots import parse_robots, robots_verdict
+    from webextract.sources.pages import page_host
+
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(page_host(F.col("doc_id")).alias("h")).distinct()
+    hmod = F.col("h") % 3
+    body = F.concat(
+        F.lit("# crawl policy\nUser-agent: googlebot\nDisallow: /private\n\n"),
+        F.when(hmod == 0, F.lit("User-agent: *\nDisallow: /doc/1\nAllow: /doc/12\n"))
+        .when(hmod == 1, F.lit(""))
+        .otherwise(F.lit("User-agent: bot\nUser-agent: *\nDisallow: /\n")),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("host"), F.col("h").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.encode(body, "UTF-8").alias("body"),
+    )
+    rules = parse_robots(robots)
+    return robots_verdict(pages_from_documents(spark, sf_dir), rules)
+
+
 # frozen outline shapes for q_document_outline: doc_id%3 picks one;
 # '#' in a heading is replaced by the doc_id (so values vary per doc).
 # Each row is (pos, level, heading, parent_pos) — the GROUND TRUTH the
@@ -1065,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rebalance": q_lang_rebalance,
         "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
+        "robots_txt": q_robots_txt,
         "document_outline": q_document_outline,
         "split_assign": q_split_assign,
         "vocab_topk": q_vocab_topk,
@@ -1716,6 +1748,27 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_boiler
             FROM f GROUP BY doc_id
+        """,
+        "robots_txt": f"""
+            SELECT {_URL} AS url,
+                   CASE WHEN ({_HOST}) % 3 = 1 THEN FALSE
+                        WHEN ({_HOST}) % 3 = 2 THEN TRUE
+                        ELSE CAST(doc_id AS VARCHAR) LIKE '1%'
+                             AND NOT CAST(doc_id AS VARCHAR) LIKE '12%'
+                   END AS blocked,
+                   CASE WHEN ({_HOST}) % 3 = 2 THEN 'disallow'
+                        WHEN ({_HOST}) % 3 = 0
+                             AND CAST(doc_id AS VARCHAR) LIKE '12%' THEN 'allow'
+                        WHEN ({_HOST}) % 3 = 0
+                             AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN 'disallow'
+                   END AS rule_verb,
+                   CASE WHEN ({_HOST}) % 3 = 2 THEN '/'
+                        WHEN ({_HOST}) % 3 = 0
+                             AND CAST(doc_id AS VARCHAR) LIKE '12%' THEN '/doc/12'
+                        WHEN ({_HOST}) % 3 = 0
+                             AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN '/doc/1'
+                   END AS rule_path
+            FROM documents
         """,
         "document_outline": _document_outline_sql(),
         "split_assign": _split_assign_sql(),

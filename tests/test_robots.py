@@ -1,0 +1,91 @@
+"""robots.txt parsing + verdicts (operators/robots.py)."""
+
+from pyspark.sql import Row
+
+from webextract.operators.robots import parse_robots, robots_verdict
+
+
+def _robots(spark, host_bodies):
+    return spark.createDataFrame(
+        [Row(host=h, body=b.encode()) for h, b in host_bodies.items()]
+    )
+
+
+def _rules(spark, host_bodies):
+    return {
+        (r["host"], r["verb"], r["path"])
+        for r in parse_robots(_robots(spark, host_bodies)).collect()
+    }
+
+
+def test_parse_only_star_stanzas_apply(spark):
+    body = (
+        "User-agent: googlebot\nDisallow: /g\n\n"
+        "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+    )
+    assert _rules(spark, {"h": body}) == {
+        ("h", "disallow", "/a"),
+        ("h", "allow", "/a/b"),
+    }
+
+
+def test_parse_stacked_agents_share_stanza(spark):
+    body = "User-agent: bot\nUser-agent: *\nDisallow: /x\n"
+    assert _rules(spark, {"h": body}) == {("h", "disallow", "/x")}
+
+
+def test_parse_new_stanza_resets_agents(spark):
+    # rules separate the two user-agent lines → two stanzas, only the
+    # second is '*'; the first stanza's rule must not leak into it
+    body = "User-agent: bot\nDisallow: /x\nUser-agent: *\nDisallow: /y\n"
+    assert _rules(spark, {"h": body}) == {("h", "disallow", "/y")}
+
+
+def test_parse_strips_comments_blanks_and_empty_disallow(spark):
+    body = (
+        "# top comment\n\nUser-agent: *  # star\n"
+        "Disallow:\n"                      # empty → matches nothing
+        "Disallow: /real  # trailing\n\n"
+    )
+    assert _rules(spark, {"h": body}) == {("h", "disallow", "/real")}
+
+
+def test_parse_value_may_contain_colon(spark):
+    body = "User-agent: *\nDisallow: /a:b\n"
+    assert _rules(spark, {"h": body}) == {("h", "disallow", "/a:b")}
+
+
+def test_verdict_longest_match_and_allow_tiebreak(spark):
+    rules = spark.createDataFrame(
+        [
+            Row(host="h.ex", verb="disallow", path="/a"),
+            Row(host="h.ex", verb="allow", path="/a/b"),
+            Row(host="h.ex", verb="allow", path="/c"),
+            Row(host="h.ex", verb="disallow", path="/c"),  # tie → allow
+        ]
+    )
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://h.ex/a/x"),      # blocked by /a
+            Row(url="https://h.ex/a/b/x"),    # allowed: longer /a/b
+            Row(url="https://h.ex/c"),        # tie at len 2 → allow
+            Row(url="https://h.ex/free"),     # no rule
+            Row(url="https://other.ex/a/x"),  # unknown host → allowed
+        ]
+    )
+    out = {r["url"]: r for r in robots_verdict(pages, rules).collect()}
+    assert out["https://h.ex/a/x"]["blocked"]
+    assert out["https://h.ex/a/x"]["rule_path"] == "/a"
+    assert not out["https://h.ex/a/b/x"]["blocked"]
+    assert out["https://h.ex/a/b/x"]["rule_path"] == "/a/b"
+    assert not out["https://h.ex/c"]["blocked"]
+    assert out["https://h.ex/c"]["rule_verb"] == "allow"
+    assert not out["https://h.ex/free"]["blocked"]
+    assert out["https://h.ex/free"]["rule_verb"] is None
+    assert not out["https://other.ex/a/x"]["blocked"]
+
+
+def test_verdict_pathless_url_is_root(spark):
+    rules = spark.createDataFrame([Row(host="h.ex", verb="disallow", path="/")])
+    pages = spark.createDataFrame([Row(url="https://h.ex")])
+    assert robots_verdict(pages, rules).first()["blocked"]

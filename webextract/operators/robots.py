@@ -1,0 +1,136 @@
+"""robots.txt parsing and URL crawl verdicts, all JVM-side.
+
+The crawl-policy companion to the robots-META gate (urlnorm.py
+parses in-page ``<meta name="robots">``; THIS parses the per-host
+``/robots.txt`` file a crawler fetches first). Reference analog: the
+pre-flight validity gates the reference applies before spending model
+time on an image (``check_img``/format dispatch,
+ppocr/utils/utility.py:60-124) — here the gate is the host's declared
+policy instead of file magic.
+
+Parsing follows the robots.txt de-facto standard (RFC 9309):
+
+- a STANZA is a run of ``User-agent:`` lines followed by its rules; a
+  later ``User-agent:`` line directly after rules opens a NEW stanza
+  (gaps-and-islands over the line stream — the same windowing shape
+  as span_dedup's island merge);
+- only stanzas naming agent ``*`` apply (single-agent simplification,
+  documented — a per-agent variant is the same join with one more
+  key);
+- ``Allow``/``Disallow`` are prefix rules; the verdict for a URL is
+  decided by the LONGEST matching rule, ``Allow`` winning ties;
+  an empty ``Disallow:`` matches nothing; comments (``#``) and blank
+  lines are stripped.
+
+Scale shape: robots files are one tiny row per HOST (millions of
+rows at web scale, ~KBs each — nothing next to the page corpus), so
+the parsed rule table broadcasts; the verdict is a broadcast
+equi-join on host + a per-URL window over a handful of candidate
+rules. The page corpus is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from webextract.operators.links import host_of
+
+
+def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
+    """robots(host, body:binary) → (host, verb, path): the Allow /
+    Disallow rules of every ``User-agent: *`` stanza.
+
+    Stanza tracking is gaps-and-islands: a user-agent line whose
+    PREVIOUS line is not a user-agent line starts a new stanza (so
+    stacked ``User-agent: a`` / ``User-agent: *`` share one stanza);
+    a stanza's rules apply iff any of its agent lines is ``*``.
+    """
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.decode(F.col(body_col), "UTF-8"), "\n")).alias(
+            "ln", "raw"
+        ),
+    ).select(
+        "host",
+        "ln",
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    )
+    low = F.lower(F.col("line"))
+    is_ua = low.startswith("user-agent:")
+    # value = everything after the FIRST colon (paths may contain ':')
+    after = F.trim(F.regexp_extract(F.col("line"), "^[^:]*:(.*)$", 1))
+    w = Window.partitionBy("host").orderBy("ln")
+    tagged = lines.filter(F.col("line") != "").select(
+        "host",
+        "ln",
+        "line",
+        is_ua.alias("is_ua"),
+        after.alias("val"),
+        low.alias("low"),
+    )
+    stanza = F.sum(
+        (
+            F.col("is_ua")
+            & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+        ).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    st = tagged.withColumn("stanza", stanza)
+    star = (
+        st.filter(F.col("is_ua") & (F.col("val") == "*"))
+        .select("host", "stanza")
+        .distinct()
+    )
+    rules = st.filter(
+        F.col("low").startswith("disallow:") | F.col("low").startswith("allow:")
+    ).select(
+        "host",
+        "stanza",
+        F.when(F.col("low").startswith("allow:"), F.lit("allow"))
+        .otherwise(F.lit("disallow"))
+        .alias("verb"),
+        F.col("val").alias("path"),
+    )
+    # empty Disallow: matches nothing (the classic "allow everything")
+    return (
+        rules.join(star, ["host", "stanza"])
+        .filter(F.col("path") != "")
+        .select("host", "verb", "path")
+    )
+
+
+def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """(url, blocked, rule_verb, rule_path): every page judged against
+    the parsed rule table — longest matching prefix wins, ``allow``
+    beats ``disallow`` on equal length (RFC 9309 §2.4.2), no matching
+    rule means allowed.
+
+    The rule table is broadcast (per-host KBs); candidates come from a
+    host equi-join + prefix filter, the winner from a per-URL window
+    over those few rows. Deterministic tie-break: length desc, verb
+    asc ('allow' < 'disallow'), path asc.
+    """
+    path = F.regexp_extract(F.col("url"), r"^https?://[^/?#]+(/[^?#]*)?", 1)
+    target = pages.select(
+        "url",
+        host_of(F.col("url")).alias("host"),
+        F.when(path == "", "/").otherwise(path).alias("path_t"),
+    )
+    cand = target.join(F.broadcast(rules), "host").filter(
+        F.col("path_t").startswith(F.col("path"))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.length("path").desc(), F.col("verb").asc(), F.col("path").asc()
+    )
+    winner = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", F.col("verb").alias("rule_verb"), F.col("path").alias("rule_path"))
+    )
+    return pages.select("url").join(winner, "url", "left").select(
+        "url",
+        F.coalesce(F.col("rule_verb") == "disallow", F.lit(False)).alias("blocked"),
+        "rule_verb",
+        "rule_path",
+    )
