@@ -87,6 +87,7 @@ def main() -> None:
         "crawl_diff",
         "canonical_link",
         "robots_policy",
+        "robots_txt",
         "lm_buckets",
         "lang_rebalance",
         "host_boiler",
