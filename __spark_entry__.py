@@ -574,7 +574,7 @@ _SPAN_NAV = (
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc repeated-substring removal over planted shared spans:
-    doc_id%4==0 docs share a 13-token license tail, ==1 share a
+    doc_id%4==0 docs share a 12-token license tail, ==1 share a
     12-token nav head, the rest are natural text. The oracle restates
     the full window-hash → repeated-df → gaps-and-islands → rebuild
     chain in SQL, so span boundaries and the rebuilt text are
@@ -643,8 +643,9 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-frequency boilerplate strip over planted site templates: a
-    'Host N newsletter' banner on 3 of every 4 docs (host-frac ≈ 0.75
-    on host0, ≈ 0.5 on odd hosts — both over the 0.4 bar) and a rare
+    'Host N newsletter' banner on docs with doc_id%4!=1 (host-frac =
+    1.0 on host0 — evens are never ≡1 mod 4 — and ≈ 0.5 on odd hosts;
+    both over the 0.4 bar) and a rare
     'Special offer today' line on every 10th doc (frac ≈ 0.2 on host0
     — under the bar, must SURVIVE). The oracle restates the df rule
     and the rebuild."""
@@ -675,10 +676,12 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-host policies: every host carries a googlebot stanza that must
     NOT apply; host%3==0 adds a '*' stanza (Disallow /doc/1, Allow
     /doc/12 — so ids starting '12' exercise allow-beats-disallow at
-    longer match), host%3==1 has no '*' stanza, host%3==2 stacks
-    'User-agent: bot' + 'User-agent: *' over 'Disallow: /' (stanza
-    sharing). The oracle states every verdict from the doc_id
-    arithmetic — ground truth, not a parser mirror."""
+    longer match), host%3==1 gets 'Disallow: /doc/*7$' (the RFC 9309
+    wildcard + end-anchor path — blocks exactly ids ending in 7),
+    host%3==2 stacks 'User-agent: bot' + 'User-agent: *' over
+    'Disallow: /' framed with CRLF line endings (stanza sharing + the
+    real-world line framing). The oracle states every verdict from the
+    doc_id arithmetic — ground truth, not a parser mirror."""
     from webextract.operators.robots import parse_robots, robots_verdict
     from webextract.sources.pages import page_host
 
@@ -688,8 +691,10 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = F.concat(
         F.lit("# crawl policy\nUser-agent: googlebot\nDisallow: /private\n\n"),
         F.when(hmod == 0, F.lit("User-agent: *\nDisallow: /doc/1\nAllow: /doc/12\n"))
-        .when(hmod == 1, F.lit(""))
-        .otherwise(F.lit("User-agent: bot\nUser-agent: *\nDisallow: /\n")),
+        .when(hmod == 1, F.lit("User-agent: *\nDisallow: /doc/*7$\n"))
+        .otherwise(
+            F.lit("User-agent: bot\r\nUser-agent: *\r\nDisallow: /\r\n")
+        ),
     )
     robots = hosts.select(
         F.concat(F.lit("host"), F.col("h").cast("string"), F.lit(".example")).alias(
@@ -1751,18 +1756,25 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         """,
         "robots_txt": f"""
             SELECT {_URL} AS url,
-                   CASE WHEN ({_HOST}) % 3 = 1 THEN FALSE
+                   CASE WHEN ({_HOST}) % 3 = 1
+                             THEN CAST(doc_id AS VARCHAR) LIKE '%7'
                         WHEN ({_HOST}) % 3 = 2 THEN TRUE
                         ELSE CAST(doc_id AS VARCHAR) LIKE '1%'
                              AND NOT CAST(doc_id AS VARCHAR) LIKE '12%'
                    END AS blocked,
                    CASE WHEN ({_HOST}) % 3 = 2 THEN 'disallow'
+                        WHEN ({_HOST}) % 3 = 1
+                             AND CAST(doc_id AS VARCHAR) LIKE '%7'
+                             THEN 'disallow'
                         WHEN ({_HOST}) % 3 = 0
                              AND CAST(doc_id AS VARCHAR) LIKE '12%' THEN 'allow'
                         WHEN ({_HOST}) % 3 = 0
                              AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN 'disallow'
                    END AS rule_verb,
                    CASE WHEN ({_HOST}) % 3 = 2 THEN '/'
+                        WHEN ({_HOST}) % 3 = 1
+                             AND CAST(doc_id AS VARCHAR) LIKE '%7'
+                             THEN '/doc/*7$'
                         WHEN ({_HOST}) % 3 = 0
                              AND CAST(doc_id AS VARCHAR) LIKE '12%' THEN '/doc/12'
                         WHEN ({_HOST}) % 3 = 0

@@ -89,3 +89,58 @@ def test_verdict_pathless_url_is_root(spark):
     rules = spark.createDataFrame([Row(host="h.ex", verb="disallow", path="/")])
     pages = spark.createDataFrame([Row(url="https://h.ex")])
     assert robots_verdict(pages, rules).first()["blocked"]
+
+
+def test_parse_crlf_and_tab_framing(spark):
+    # the common real-world framing: CRLF line endings, tab after the
+    # colon — '\r'/'\t' must not survive into agent or path values
+    body = "User-agent:\t*\r\nDisallow:\t/private\r\nAllow: /private/ok\r\n"
+    assert _rules(spark, {"h": body}) == {
+        ("h", "disallow", "/private"),
+        ("h", "allow", "/private/ok"),
+    }
+
+
+def test_parse_bare_cr_framing(spark):
+    body = "User-agent: *\rDisallow: /x\r"
+    assert _rules(spark, {"h": body}) == {("h", "disallow", "/x")}
+
+
+def test_verdict_wildcard_star_and_end_anchor(spark):
+    rules = spark.createDataFrame(
+        [
+            Row(host="h.ex", verb="disallow", path="/*.pdf$"),
+            Row(host="h.ex", verb="disallow", path="/tmp/*"),
+            Row(host="h.ex", verb="allow", path="/tmp/keep"),
+        ]
+    )
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://h.ex/docs/a.pdf"),     # *.pdf$ → blocked
+            Row(url="https://h.ex/docs/a.pdfx"),    # $ anchor → allowed
+            Row(url="https://h.ex/tmp/zzz"),        # /tmp/* → blocked
+            Row(url="https://h.ex/tmp/keep/f"),     # longer allow wins
+        ]
+    )
+    out = {r["url"]: r for r in robots_verdict(pages, rules).collect()}
+    assert out["https://h.ex/docs/a.pdf"]["blocked"]
+    assert out["https://h.ex/docs/a.pdf"]["rule_path"] == "/*.pdf$"
+    assert not out["https://h.ex/docs/a.pdfx"]["blocked"]
+    assert out["https://h.ex/tmp/zzz"]["blocked"]
+    assert not out["https://h.ex/tmp/keep/f"]["blocked"]
+
+
+def test_verdict_regex_metachars_are_literal(spark):
+    # '.', '(', '+' in a rule path must match literally, not as regex
+    rules = spark.createDataFrame(
+        [Row(host="h.ex", verb="disallow", path="/a.b(c)+*")]
+    )
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://h.ex/a.b(c)+x"),  # literal prefix → blocked
+            Row(url="https://h.ex/aXb(c)+x"),  # '.' is literal → allowed
+        ]
+    )
+    out = {r["url"]: r for r in robots_verdict(pages, rules).collect()}
+    assert out["https://h.ex/a.b(c)+x"]["blocked"]
+    assert not out["https://h.ex/aXb(c)+x"]["blocked"]

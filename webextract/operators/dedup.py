@@ -470,13 +470,17 @@ def host_boilerplate_strip(
     anywhere.
     """
     host = F.col(host_col)
+    # the exploded line table feeds BOTH the (host, line) df agg and
+    # the flag-back join; the two branches shuffle different shapes so
+    # ReuseExchange cannot collapse them — checkpoint the explode once
+    # (same pattern as span_dedup / ngram_jaccard_pairs)
     lines = docs.select(
         host_col,
         "doc_id",
         F.posexplode(F.split(F.col("text"), re.escape(sep))).alias(
             "line_no", "line"
         ),
-    )
+    ).localCheckpoint(eager=False)
     host_docs = docs.groupBy(host_col).agg(F.count("*").alias("host_docs"))
     line_df = lines.groupBy(host_col, "line").agg(
         F.countDistinct("doc_id").alias("n_docs_with")

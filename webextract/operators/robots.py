@@ -17,10 +17,16 @@ Parsing follows the robots.txt de-facto standard (RFC 9309):
 - only stanzas naming agent ``*`` apply (single-agent simplification,
   documented — a per-agent variant is the same join with one more
   key);
-- ``Allow``/``Disallow`` are prefix rules; the verdict for a URL is
-  decided by the LONGEST matching rule, ``Allow`` winning ties;
-  an empty ``Disallow:`` matches nothing; comments (``#``) and blank
-  lines are stripped.
+- ``Allow``/``Disallow`` values are path patterns supporting the two
+  RFC 9309 §2.2.3 metacharacters — ``*`` (any octet run) and a
+  trailing ``$`` (end-of-path anchor); everything else matches as a
+  literal prefix. The verdict for a URL is decided by the LONGEST
+  matching rule (by raw rule-text length, the de-facto "most
+  specific" order), ``Allow`` winning ties; an empty ``Disallow:``
+  matches nothing; comments (``#``) and blank lines are stripped.
+- line framing is tolerant: LF, CRLF and bare-CR files all parse
+  (split on any of the three), and field values are stripped of ALL
+  whitespace (tabs included), not just spaces.
 
 Scale shape: robots files are one tiny row per HOST (millions of
 rows at web scale, ~KBs each — nothing next to the page corpus), so
@@ -38,6 +44,13 @@ from pyspark.sql.window import Window
 from webextract.operators.links import host_of
 
 
+def _ws_strip(col):
+    """Strip leading/trailing WHITESPACE (tabs, CR included) — Spark's
+    ``F.trim`` removes only ASCII space, so a CRLF-framed robots.txt
+    would otherwise keep '\\r' glued to every field value."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
     """robots(host, body:binary) → (host, verb, path): the Allow /
     Disallow rules of every ``User-agent: *`` stanza.
@@ -49,18 +62,18 @@ def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
     """
     lines = robots.select(
         "host",
-        F.posexplode(F.split(F.decode(F.col(body_col), "UTF-8"), "\n")).alias(
-            "ln", "raw"
-        ),
+        F.posexplode(
+            F.split(F.decode(F.col(body_col), "UTF-8"), "\r\n|\r|\n")
+        ).alias("ln", "raw"),
     ).select(
         "host",
         "ln",
-        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+        _ws_strip(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
     )
     low = F.lower(F.col("line"))
     is_ua = low.startswith("user-agent:")
     # value = everything after the FIRST colon (paths may contain ':')
-    after = F.trim(F.regexp_extract(F.col("line"), "^[^:]*:(.*)$", 1))
+    after = _ws_strip(F.regexp_extract(F.col("line"), "^[^:]*:(.*)$", 1))
     w = Window.partitionBy("host").orderBy("ln")
     tagged = lines.filter(F.col("line") != "").select(
         "host",
@@ -102,14 +115,18 @@ def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
 
 def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
     """(url, blocked, rule_verb, rule_path): every page judged against
-    the parsed rule table — longest matching prefix wins, ``allow``
+    the parsed rule table — longest matching rule wins, ``allow``
     beats ``disallow`` on equal length (RFC 9309 §2.4.2), no matching
-    rule means allowed.
+    rule means allowed. Rules honor the two §2.2.3 metacharacters:
+    ``*`` matches any octet run and a trailing ``$`` anchors at
+    end-of-path; wildcard-free rules take the cheap ``startswith``
+    path (no regex evaluated for the common case).
 
-    The rule table is broadcast (per-host KBs); candidates come from a
-    host equi-join + prefix filter, the winner from a per-URL window
-    over those few rows. Deterministic tie-break: length desc, verb
-    asc ('allow' < 'disallow'), path asc.
+    The rule table is broadcast (per-host KBs) with its match regex
+    precomputed ONCE on the tiny side; candidates come from a host
+    equi-join + match filter, the winner from a per-URL window over
+    those few rows. Deterministic tie-break: length desc, verb asc
+    ('allow' < 'disallow'), path asc.
     """
     path = F.regexp_extract(F.col("url"), r"^https?://[^/?#]+(/[^?#]*)?", 1)
     target = pages.select(
@@ -117,8 +134,25 @@ def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
         host_of(F.col("url")).alias("host"),
         F.when(path == "", "/").otherwise(path).alias("path_t"),
     )
-    cand = target.join(F.broadcast(rules), "host").filter(
-        F.col("path_t").startswith(F.col("path"))
+    # translate each rule path to a regex on the TINY rules side:
+    # strip a trailing '$' (anchor), escape regex metachars, '*'→'.*'
+    anchored = F.col("path").endswith("$")
+    base = F.when(
+        anchored, F.expr("substring(path, 1, length(path) - 1)")
+    ).otherwise(F.col("path"))
+    esc = F.regexp_replace(base, r"([.^$+?(){}\[\]|\\])", "\\\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    has_wild = F.col("path").contains("*") | anchored
+    prepared = rules.select(
+        "host", "verb", "path", has_wild.alias("wild"), rx.alias("rx")
+    )
+    cand = target.join(F.broadcast(prepared), "host").filter(
+        F.when(F.col("wild"), F.regexp_like(F.col("path_t"), F.col("rx")))
+        .otherwise(F.col("path_t").startswith(F.col("path")))
     )
     w = Window.partitionBy("url").orderBy(
         F.length("path").desc(), F.col("verb").asc(), F.col("path").asc()
