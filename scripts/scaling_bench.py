@@ -7,8 +7,16 @@ is fixed per JVM, so each level runs in its own python subprocess) and
 mirrors the reference's sp-vs-mp benchmark protocol
 (benchmark/readme.md:15, skip-warmup rule run_benchmark_det.sh:16).
 
-Usage: python scripts/scaling_bench.py [sf_dir] [N] [replicas]
+Usage: python scripts/scaling_bench.py [sf_dir] [N] [replicas] [rounds]
 Writes scaling JSON to stdout (last line) for BENCH/BASELINE.md.
+
+With ``rounds`` > 1 the two levels run INTERLEAVED (N, 4N, N, 4N, …)
+so both sample the same host weather: a load swing that lands between
+the N and 4N phases of a sequential run fabricates (or destroys)
+efficiency, which is exactly what the r2/r3 run history shows — the
+N-level spread alone was 1.7×. Reported: efficiency from the min
+wall time per level across rounds (each level's least-contended
+measurement) AND the median of the per-round time-adjacent pairings.
 """
 
 from __future__ import annotations
@@ -132,14 +140,27 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     pages_path = os.environ.get("WEBEXTRACT_BENCH_PAGES", "/tmp/webextract_bench_pages")
     subprocess.run(
         [sys.executable, "-c", _GEN, sf_dir, str(replicas), pages_path],
         capture_output=True, text=True, check=True,
     )
-    lo = run_level(pages_path, n)
-    hi = run_level(pages_path, 4 * n)
+    per_round_runs = 2 if rounds == 1 else 1
+    los, his = [], []
+    for _ in range(rounds):
+        los.append(run_level(pages_path, n, runs=per_round_runs))
+        his.append(run_level(pages_path, 4 * n, runs=per_round_runs))
+    lo = min(los, key=lambda r: r["sec"])
+    hi = min(his, key=lambda r: r["sec"])
     eff = hi["pages_per_sec"] / (4 * lo["pages_per_sec"])
+    paired = sorted(
+        h["pages_per_sec"] / (4 * l["pages_per_sec"])
+        for l, h in zip(los, his)
+    )
+    median_paired = paired[len(paired) // 2] if len(paired) % 2 else (
+        (paired[len(paired) // 2 - 1] + paired[len(paired) // 2]) / 2
+    )
     c_lo = run_ceiling(pages_path, n)
     c_hi = run_ceiling(pages_path, 4 * n)
     ceiling = c_hi["pages_per_sec"] / (4 * c_lo["pages_per_sec"])
@@ -147,11 +168,15 @@ def main() -> None:
         "sf_dir": sf_dir,
         "pages": lo["pages"],
         "n_cpus": n,
+        "rounds": rounds,
         "throughput_N": round(lo["pages_per_sec"], 1),
         "throughput_4N": round(hi["pages_per_sec"], 1),
         "sec_N": round(lo["sec"], 2),
         "sec_4N": round(hi["sec"], 2),
+        "throughput_N_all": [round(r["pages_per_sec"], 1) for r in los],
+        "throughput_4N_all": [round(r["pages_per_sec"], 1) for r in his],
         "scaling_efficiency": round(eff, 3),
+        "paired_efficiency_median": round(median_paired, 3),
         "host_ceiling_throughput_N": round(c_lo["pages_per_sec"], 1),
         "host_ceiling_throughput_4N": round(c_hi["pages_per_sec"], 1),
         "host_ceiling_efficiency": round(ceiling, 3),
