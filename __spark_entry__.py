@@ -1673,8 +1673,8 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                          CAST(floor(sqrt(n_l)) AS BIGINT) AS w_l FROM c),
             tot AS (SELECT SUM(n_l) AS n_total, SUM(w_l) AS w_total FROM w),
             thr AS (SELECT lang, n_l,
-                           (16777216 * (n_total // 2) * w_l)
-                             // (w_total * n_l) AS t_l
+                           CAST((16777216::HUGEINT * (n_total // 2) * w_l)
+                             // (w_total::HUGEINT * n_l) AS BIGINT) AS t_l
                     FROM w, tot)
             SELECT d.doc_id, d.lang, CAST(thr.n_l AS BIGINT) AS n_l,
                    CAST(thr.t_l AS BIGINT) AS t_l,
@@ -1695,12 +1695,17 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
               FROM documents),
             rt AS (SELECT unnest(string_split(text, ' ')) AS token
                    FROM src WHERE doc_id % 10 = 0),
-            lm AS (SELECT token, 32 - length(bin(count(*))) AS cost
-                   FROM rt GROUP BY token),
+            tc AS (SELECT token, count(*) AS c FROM rt GROUP BY token),
+            lm AS (SELECT token,
+                          length(bin((SELECT SUM(c) FROM tc)))
+                            - length(bin(c)) + 1 AS cost
+                   FROM tc),
+            oov AS (SELECT MAX(cost) + 1 AS oov_cost FROM lm),
             t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                   FROM src),
             s AS (SELECT doc_id, count(*) AS n_tokens,
-                         SUM(COALESCE(cost, 32)) AS total_bits
+                         SUM(COALESCE(cost, (SELECT oov_cost FROM oov)))
+                             AS total_bits
                   FROM t LEFT JOIN lm USING (token) GROUP BY doc_id),
             b AS (SELECT doc_id, n_tokens, total_bits,
                          (total_bits * 1000) // n_tokens AS bits_per_kt

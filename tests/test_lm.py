@@ -4,35 +4,49 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from webextract.operators.lm import LM_MAX_BITS, lm_score, unigram_lm
+from webextract.operators.lm import lm_score, unigram_lm
 
 
 def _df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_unigram_costs_are_floor_log2(spark):
-    # token counts 1,2,4,8 → costs 31,30,29,28 (32 - floor(log2 c) - 1)
+def test_unigram_costs_are_corpus_relative(spark):
+    # total = 16 tokens → B = len(bin(16)) = 5; token counts 1,2,4,8
+    # → costs 5,4,3,2 (B - floor(log2 c))
     ref = _df(
         spark,
         [(0, "a " * 1 + "b " * 2 + "c " * 4 + "d " * 8 + "z")],
     )
     lm = {r.token: r.cost for r in unigram_lm(ref).collect()}
-    assert (lm["a"], lm["b"], lm["c"], lm["d"]) == (31, 30, 29, 28)
+    assert (lm["a"], lm["b"], lm["c"], lm["d"]) == (5, 4, 3, 2)
 
 
-def test_oov_costs_max_bits(spark):
+def test_unigram_costs_scale_free(spark):
+    # the SAME relative frequencies at 64x the corpus size give the
+    # SAME costs — the constant grows with the corpus (no saturation)
+    ref = _df(
+        spark,
+        [(0, ("a " * 64 + "b " * 128 + "c " * 256 + "d " * 512).strip() + " " + "z " * 64)],
+    )
+    lm = {r.token: r.cost for r in unigram_lm(ref).collect()}
+    assert (lm["a"], lm["b"], lm["c"], lm["d"]) == (5, 4, 3, 2)
+
+
+def test_oov_costs_one_past_rarest(spark):
+    # ref "known known": total 2, B = 2, cost(known) = 1, OOV = 2
     ref = _df(spark, [(0, "known known")])
     docs = _df(spark, [(1, "unseen unseen unseen")])
     row = lm_score(docs, unigram_lm(ref)).collect()[0]
-    assert row.total_bits == 3 * LM_MAX_BITS
-    assert row.bits_per_kt == LM_MAX_BITS * 1000
+    assert row.total_bits == 3 * 2
+    assert row.bits_per_kt == 2 * 1000
 
 
 def test_buckets_relative_to_corpus_mean(spark):
-    # head: one token with count 1000 (cost 22 → 22000 bits/kt);
-    # middle: a pool shared by 8 docs (count 8 → cost 28 → 28000);
-    # tail: all-OOV (32000). mean 27800 → ratios .79 / 1.007 / 1.151.
+    # ref total = 1504 tokens → B = 11.
+    # head: one token with count 1000 (cost 2 → 2000 bits/kt);
+    # middle: a pool shared by 8 docs (count 8 → cost 8 → 8000);
+    # tail: all-OOV (max+1 = 12 → 12000). mean 7800 → .26 / 1.03 / 1.54.
     mid = " ".join(f"p{j}" for j in range(63))
     docs = _df(
         spark,

@@ -153,3 +153,28 @@ def test_page_meta_is_pure_map_stage(spark):
     plan = plan_of(entrymod.q_page_meta(spark, SF))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_robots_verdict_never_shuffles_the_corpus(spark):
+    # the ONLY hash exchange is the per-host groupBy of the KB-sized
+    # rule table; pages ride a broadcast left-join and the winner is
+    # picked in-row (array filter+sort) — no url-keyed exchange, no
+    # second pages scan, no Python node
+    import re
+
+    from webextract.operators.robots import robots_verdict
+
+    pages = pages_from_documents(spark, SF)
+    rules = spark.createDataFrame(
+        [("h.example", "disallow", "/doc/1"), ("h.example", "allow", "/doc/12")],
+        "host string, verb string, path string",
+    )
+    plan = plan_of(robots_verdict(pages, rules))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(url" not in plan
+    # exactly one hash exchange: the rule-table groupBy(host)
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    # and the pages table is scanned exactly once
+    assert plan.count("Scan parquet") == pages._jdf.queryExecution(
+    ).executedPlan().toString().count("Scan parquet")

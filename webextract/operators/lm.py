@@ -10,31 +10,41 @@ deciding keep/demote.
 Engine-portability design (the reason this file exists instead of a
 float ``ln()``): a float log-prob sum is NOT bit-stable across engines
 (ulp differences between Java's and DuckDB's ``ln`` could flip a
-bucket), so the model is **quantized to integer bit-costs**:
+bucket), so the model is **quantized to integer bit-costs** relative
+to the reference corpus's own size:
 
-    cost(token) = LM_MAX_BITS − length(bin(count(token)))
+    cost(token) = B − length(bin(count(token))) + 1,
+    B = length(bin(Σ counts))
 
-i.e. ``⌈-log2 p⌉`` up to a constant — ``length(bin(c))`` is
+i.e. ``⌈−log2 (count/total)⌉`` up to one bit — ``length(bin(c))`` is
 ``floor(log2 c)+1`` computed exactly in both engines from the binary
-string, never through floating point. A document's score is then
+string, never through floating point. Because the constant ``B``
+GROWS with the reference corpus, costs stay in ``[1, B]`` at every
+scale (the most common token always costs ~1 bit, a hapax ~B bits):
+no saturation, no zero/negative costs however large a token's count
+gets — a fixed constant (the previous design) goes non-positive once
+a count reaches 2^(const−1), which common tokens do long before
+10^12 docs. OOV tokens cost ``max(cost)+1``, one bit past the rarest
+in-vocabulary token. A document's score is then
 ``bits_per_kt = (Σ cost · 1000) div n_tokens`` — pure BIGINT
 arithmetic, hash-exact vs the oracle by construction.
 
 Buckets are RELATIVE to the corpus mean (head < 85%, tail > 110% —
 frozen constants), compared by integer cross-multiplication, so the
-same frozen thresholds hold at every scale factor: absolute costs
-shrink as the reference corpus grows (counts rise with corpus size),
-but the head/middle/tail geometry is scale-free. At 10^12 docs the
-cross-product ``bpkt·N·100`` peaks near 3.2e18 — inside BIGINT.
+same frozen thresholds hold at every scale factor. ``B ≤ 63`` by
+construction (counts are BIGINT), so ``bits_per_kt ≤ 64,000`` and the
+cross-product ``bpkt·n_docs·100`` stays inside BIGINT up to ~1.4e12
+docs; lift the comparison to DECIMAL beyond that.
 
 Scale shape: the LM is a (token, cost) table trained once on the
 reference corpus — vocabulary-sized, i.e. tiny next to the crawl —
-and **broadcast** into the scoring join. Scoring is explode →
-broadcast-join → groupBy(doc_id): partial aggregation collapses each
-doc's tokens map-side, so the one shuffle moves ~one row per doc.
-The corpus mean is a single scalar aggregate broadcast back — no
-global sort, no window over one partition (ntile is exactly what NOT
-to do at 10^12 rows).
+and **broadcast** into the scoring join (the OOV cost is a one-row
+scalar broadcast alongside). Scoring is explode → broadcast-join →
+groupBy(doc_id): partial aggregation collapses each doc's tokens
+map-side, so the one shuffle moves ~one row per doc. The corpus mean
+is a single scalar aggregate broadcast back — no global sort, no
+window over one partition (ntile is exactly what NOT to do at 10^12
+rows).
 """
 
 from __future__ import annotations
@@ -42,7 +52,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LM_MAX_BITS = 32  # OOV cost; token costs are LM_MAX_BITS - floor(log2 c) - 1
 LM_HEAD_PCT = 85  # head: bits_per_kt < 85% of corpus mean
 LM_TAIL_PCT = 110  # tail: bits_per_kt > 110% of corpus mean
 
@@ -56,13 +65,21 @@ def unigram_lm(ref_docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     ``ref_docs`` is the clean reference corpus (CCNet trains on
     Wikipedia; the driver query freezes ``doc_id % 10 = 0`` as its
-    stand-in). One groupBy over the exploded tokens; the result is
-    vocabulary-sized and meant to be broadcast by the caller.
+    stand-in) and must be non-empty. One groupBy over the exploded
+    tokens plus a one-row total; the result is vocabulary-sized and
+    meant to be broadcast by the caller.
     """
-    return (
+    counts = (
         _tokens(ref_docs, text_col)
         .groupBy("token")
-        .agg((F.lit(LM_MAX_BITS) - F.length(F.bin(F.count("*")))).alias("cost"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            F.length(F.bin("total")) - F.length(F.bin("c")) + F.lit(1)
+        ).cast("long").alias("cost"),
     )
 
 
@@ -72,15 +89,18 @@ def lm_score(docs: DataFrame, lm: DataFrame, text_col: str = "text") -> DataFram
 
     ``bits_per_kt`` is integer millibits-per-token; ``bucket`` compares
     it to the corpus mean by BIGINT cross-multiplication (no division,
-    no floats — see module docstring). OOV tokens cost LM_MAX_BITS.
+    no floats — see module docstring). OOV tokens cost ``max(cost)+1``
+    — one bit past the rarest in-vocabulary token.
     """
+    oov = lm.agg((F.max("cost") + F.lit(1)).alias("oov_cost"))
     scored = (
         _tokens(docs, text_col)
         .join(F.broadcast(lm), "token", "left")
+        .crossJoin(F.broadcast(oov))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.sum(F.coalesce("cost", F.lit(LM_MAX_BITS))).alias("total_bits"),
+            F.sum(F.coalesce(F.col("cost"), F.col("oov_cost"))).alias("total_bits"),
         )
         .withColumn("bits_per_kt", F.expr("total_bits * 1000 div n_tokens"))
     )

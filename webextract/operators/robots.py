@@ -122,11 +122,14 @@ def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
     end-of-path; wildcard-free rules take the cheap ``startswith``
     path (no regex evaluated for the common case).
 
-    The rule table is broadcast (per-host KBs) with its match regex
-    precomputed ONCE on the tiny side; candidates come from a host
-    equi-join + match filter, the winner from a per-URL window over
-    those few rows. Deterministic tie-break: length desc, verb asc
-    ('allow' < 'disallow'), path asc.
+    The rule table is collapsed to ONE array-of-rules row per host
+    (with each rule's match regex precomputed on that tiny side) and
+    broadcast; every page then left-joins its host's rule array and
+    picks the winner with array filter + sort — one row per page end
+    to end, so the corpus is scanned ONCE and never shuffled (the only
+    shuffle is the per-host groupBy of the KB-sized rule table).
+    Deterministic tie-break: length desc, verb asc ('allow' <
+    'disallow'), path asc.
     """
     path = F.regexp_extract(F.col("url"), r"^https?://[^/?#]+(/[^?#]*)?", 1)
     target = pages.select(
@@ -147,24 +150,47 @@ def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
         F.when(anchored, F.lit("$")).otherwise(F.lit("")),
     )
     has_wild = F.col("path").contains("*") | anchored
-    prepared = rules.select(
-        "host", "verb", "path", has_wild.alias("wild"), rx.alias("rx")
+    by_host = (
+        rules.select(
+            "host", "verb", "path", has_wild.alias("wild"), rx.alias("rx")
+        )
+        .groupBy("host")
+        .agg(F.collect_list(F.struct("verb", "path", "wild", "rx")).alias("rules"))
     )
-    cand = target.join(F.broadcast(prepared), "host").filter(
-        F.when(F.col("wild"), F.regexp_like(F.col("path_t"), F.col("rx")))
-        .otherwise(F.col("path_t").startswith(F.col("path")))
+
+    def _matches(r):
+        return F.when(
+            r["wild"], F.regexp_like(F.col("path_t"), r["rx"])
+        ).otherwise(F.col("path_t").startswith(r["path"]))
+
+    def _better(a, b):
+        # -1 iff a is the MORE specific rule: length desc, verb asc
+        # ('allow' < 'disallow'), path asc
+        return (
+            F.when(F.length(a["path"]) > F.length(b["path"]), F.lit(-1))
+            .when(F.length(a["path"]) < F.length(b["path"]), F.lit(1))
+            .when(a["verb"] < b["verb"], F.lit(-1))
+            .when(a["verb"] > b["verb"], F.lit(1))
+            .when(a["path"] < b["path"], F.lit(-1))
+            .when(a["path"] > b["path"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    win = F.get(
+        F.array_sort(
+            F.filter(F.coalesce(F.col("rules"), F.array()), _matches), _better
+        ),
+        0,
     )
-    w = Window.partitionBy("url").orderBy(
-        F.length("path").desc(), F.col("verb").asc(), F.col("path").asc()
-    )
-    winner = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("url", F.col("verb").alias("rule_verb"), F.col("path").alias("rule_path"))
-    )
-    return pages.select("url").join(winner, "url", "left").select(
-        "url",
-        F.coalesce(F.col("rule_verb") == "disallow", F.lit(False)).alias("blocked"),
-        "rule_verb",
-        "rule_path",
+    return (
+        target.join(F.broadcast(by_host), "host", "left")
+        .withColumn("win", win)
+        .select(
+            "url",
+            F.coalesce(F.col("win.verb") == "disallow", F.lit(False)).alias(
+                "blocked"
+            ),
+            F.col("win.verb").alias("rule_verb"),
+            F.col("win.path").alias("rule_path"),
+        )
     )

@@ -129,9 +129,13 @@ def pack_chunks(
     )
 
 
-# uniform-hash resolution for lang_rebalance thresholds (24-bit keeps
-# every integer cross-product inside BIGINT up to ~10^10 docs/lang;
-# lift t_l's computation to DECIMAL beyond that)
+# uniform-hash resolution for lang_rebalance thresholds. The
+# threshold numerator 2^24 · (n_total div 2) · w_l grows as
+# 2^23 · n^1.5, which leaves BIGINT at only ~1.1e8 docs — so t_l is
+# computed in DECIMAL(38,0) (HUGEINT in the oracle), good through
+# ~10^38, i.e. any conceivable corpus; the RESULT always fits BIGINT
+# (t_l ≤ 2^23·sqrt(n_total) ≈ 8.4e12 at 10^12 docs). The per-lang
+# table this runs over is tiny, so the wide arithmetic is free.
 REBALANCE_U_BITS = 24
 
 
@@ -150,7 +154,9 @@ def lang_rebalance(
     that is bit-portable: IEEE-754 ``sqrt`` is correctly rounded (a
     fully-specified operation, unlike ``ln``/``pow``), so Spark and
     the SQL oracle floor the same double. Everything after that is
-    BIGINT arithmetic: with ``W = Σ floor(sqrt(n_l))`` and budget
+    exact integer arithmetic (DECIMAL(38,0) through the one product
+    that outgrows BIGINT — see ``REBALANCE_U_BITS``): with
+    ``W = Σ floor(sqrt(n_l))`` and budget
     ``B = n_total div budget_divisor``, a doc is kept iff
 
         u < t_l,   t_l = (2^24 · B · w_l) div (W · n_l)
@@ -173,9 +179,10 @@ def lang_rebalance(
             lang_col,
             "n_l",
             F.expr(
-                f"({1 << REBALANCE_U_BITS} * (n_total div {budget_divisor}) * w_l)"
-                " div (w_total * n_l)"
-            ).alias("t_l"),
+                f"(cast({1 << REBALANCE_U_BITS} as decimal(38,0))"
+                f" * (n_total div {budget_divisor}) * w_l)"
+                " div (cast(w_total as decimal(38,0)) * n_l)"
+            ).cast("long").alias("t_l"),
         )
     )
     u = F.conv(
