@@ -706,6 +706,74 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_verdict(pages_from_documents(spark, sf_dir), rules)
 
 
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl frontier from planted per-host sitemap.xml files: every
+    host advertises its docs with doc_id%4!=3 (full ISO lastmod =
+    warc_ts + 86400 for doc_id%5==0 → STALE, warc_ts − 3600 otherwise
+    → FRESH) plus two never-crawled urls (/new/1 with a bare-date
+    lastmod — the second W3C form — and /new/2 with none → both NEW,
+    null lastmod surviving the classifier). The oracle states every
+    (url, status, lastmod) from the doc_id arithmetic — ground truth,
+    not a parser mirror."""
+    from webextract.operators.sitemap import parse_sitemap, sitemap_frontier
+    from webextract.sources.pages import _EPOCH_2024, page_host, page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    ts = F.timestamp_seconds(
+        F.lit(_EPOCH_2024)
+        + doc_id
+        + F.when(doc_id % 5 == 0, F.lit(86400)).otherwise(F.lit(-3600))
+    )
+    entry = F.when(
+        doc_id % 4 != 3,
+        F.concat(
+            F.lit("<url><loc>"),
+            page_url(doc_id),
+            F.lit("</loc><lastmod>"),
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("</lastmod><priority>0.8</priority></url>"),
+        ),
+    ).otherwise(F.lit(""))
+    per_host = (
+        docs.select(page_host(doc_id).alias("h"), doc_id.alias("doc_id"), entry.alias("e"))
+        .groupBy("h")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                    lambda x: x["e"],
+                ),
+                "",
+            ).alias("mid")
+        )
+    )
+    h_str = F.col("h").cast("string")
+    body = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        ),
+        F.col("mid"),
+        F.lit("<url><loc>https://host"),
+        h_str,
+        F.lit(".example/new/1</loc><lastmod>2024-06-01</lastmod></url>"),
+        F.lit("<url><loc>https://host"),
+        h_str,
+        F.lit(".example/new/2</loc></url></urlset>"),
+    )
+    sitemaps = per_host.select(
+        F.concat(F.lit("host"), h_str, F.lit(".example")).alias("host"),
+        F.encode(body, "UTF-8").alias("body"),
+    )
+    fr = sitemap_frontier(parse_sitemap(sitemaps), pages_from_documents(spark, sf_dir))
+    return fr.select(
+        "url",
+        "status",
+        F.coalesce(F.unix_timestamp("lastmod"), F.lit(-1)).alias("lastmod_s"),
+    )
+
+
 # frozen outline shapes for q_document_outline: doc_id%3 picks one;
 # '#' in a heading is replaced by the doc_id (so values vary per doc).
 # Each row is (pos, level, heading, parent_pos) — the GROUND TRUTH the
@@ -1102,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
         "robots_txt": q_robots_txt,
+        "sitemap_frontier": q_sitemap_frontier,
         "document_outline": q_document_outline,
         "split_assign": q_split_assign,
         "vocab_topk": q_vocab_topk,
@@ -1786,6 +1855,25 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                              AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN '/doc/1'
                    END AS rule_path
             FROM documents
+        """,
+        "sitemap_frontier": f"""
+            WITH hosts AS (SELECT DISTINCT {_HOST} AS h FROM documents),
+            ent AS (
+              SELECT {_URL} AS url,
+                     CASE WHEN doc_id % 5 = 0 THEN 'stale'
+                          ELSE 'fresh' END AS status,
+                     1704067200 + doc_id
+                       + CASE WHEN doc_id % 5 = 0 THEN 86400
+                              ELSE -3600 END AS lastmod_s
+              FROM documents WHERE doc_id % 4 <> 3
+              UNION ALL
+              SELECT 'https://host' || CAST(h AS VARCHAR)
+                       || '.example/new/1', 'new', 1717200000 FROM hosts
+              UNION ALL
+              SELECT 'https://host' || CAST(h AS VARCHAR)
+                       || '.example/new/2', 'new', -1 FROM hosts)
+            SELECT url, status, CAST(lastmod_s AS BIGINT) AS lastmod_s
+            FROM ent
         """,
         "document_outline": _document_outline_sql(),
         "split_assign": _split_assign_sql(),

@@ -88,6 +88,7 @@ def main() -> None:
         "canonical_link",
         "robots_policy",
         "robots_txt",
+        "sitemap_frontier",
         "lm_buckets",
         "lang_rebalance",
         "host_boiler",

@@ -1,0 +1,122 @@
+"""sitemap.xml parsing and crawl-frontier derivation, all JVM-side.
+
+The discovery-side companion to robots.py (which gates what a crawler
+MAY fetch, while the sitemap advertises what it SHOULD fetch):
+parse per-host ``sitemap.xml`` files into (host, loc, lastmod,
+priority) rows, resolve ``<sitemapindex>`` files to their child
+sitemap locations, and join the advertised urls against the crawled
+corpus to produce the incremental frontier — which advertised urls
+are NEW (never crawled) or STALE (sitemap ``lastmod`` newer than our
+capture). Reference analog: the dataset-manifest scan that tells the
+reference WHAT to process before any per-item work
+(``get_image_file_list``, ppocr/utils/utility.py:28-58).
+
+Parsing is the sitemaps.org 0.9 schema over codegen regex (the same
+tag-isolating approach as pagemeta.py): ``<url>`` elements isolated
+non-greedily, ``<loc>``/``<lastmod>``/``<priority>`` extracted per
+element with whitespace tolerance; ``lastmod`` accepts both W3C
+datetime forms seen in the wild (full ISO-8601 and bare
+``YYYY-MM-DD``) via ``try_to_timestamp`` fallbacks — a malformed
+value degrades to NULL, never an error.
+
+Scale shape: sitemap files are one row per HOST (KBs each — tiny next
+to the corpus). Parsing explodes only the tiny side; the frontier
+join reduces the corpus to (url, warc_ts) AT THE SCAN (column-pruned)
+and equi-joins on url — the one shuffle this operator ever does, and
+none at all when the corpus table is bucketed by url
+(sources/bucketed.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_URL_ELEM_RE = r"(?is)<url>.*?</url>"
+_SITEMAP_ELEM_RE = r"(?is)<sitemap>.*?</sitemap>"
+_LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+_PRIORITY_RE = r"(?is)<priority>\s*(.*?)\s*</priority>"
+
+
+def _lastmod_ts(col):
+    # W3C datetime: full ISO-8601 with zone, without zone, or bare date
+    return F.coalesce(
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd")),
+    )
+
+
+def parse_sitemap(sitemaps: DataFrame, body_col: str = "body") -> DataFrame:
+    """sitemaps(host, body:binary) → (host, loc, lastmod:timestamp,
+    priority:double) — one row per advertised url.
+
+    Entries missing ``<loc>`` are dropped (nothing to crawl);
+    ``lastmod``/``priority`` are NULL when absent or malformed.
+    """
+    xml = F.decode(F.col(body_col), "UTF-8")
+    ex = sitemaps.select(
+        "host",
+        F.explode(F.regexp_extract_all(xml, F.lit(_URL_ELEM_RE), 0)).alias("elem"),
+    )
+    loc = F.regexp_extract(F.col("elem"), _LOC_RE, 1)
+    lastmod = F.regexp_extract(F.col("elem"), _LASTMOD_RE, 1)
+    prio = F.regexp_extract(F.col("elem"), _PRIORITY_RE, 1)
+    return (
+        ex.select(
+            "host",
+            loc.alias("loc"),
+            _lastmod_ts(F.nullif(lastmod, F.lit(""))).alias("lastmod"),
+            F.nullif(prio, F.lit("")).try_cast("double").alias("priority"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
+def parse_sitemap_index(sitemaps: DataFrame, body_col: str = "body") -> DataFrame:
+    """sitemapindex files → (host, child_loc, lastmod) — the child
+    sitemap urls a crawler fetches next (feed their bodies back
+    through :func:`parse_sitemap`)."""
+    xml = F.decode(F.col(body_col), "UTF-8")
+    ex = sitemaps.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(xml, F.lit(_SITEMAP_ELEM_RE), 0)
+        ).alias("elem"),
+    )
+    loc = F.regexp_extract(F.col("elem"), _LOC_RE, 1)
+    lastmod = F.regexp_extract(F.col("elem"), _LASTMOD_RE, 1)
+    return (
+        ex.select(
+            "host",
+            loc.alias("child_loc"),
+            _lastmod_ts(F.nullif(lastmod, F.lit(""))).alias("lastmod"),
+        )
+        .filter(F.col("child_loc") != "")
+    )
+
+
+def sitemap_frontier(entries: DataFrame, pages: DataFrame) -> DataFrame:
+    """(url, status, lastmod): every advertised url classified against
+    the crawled corpus — ``new`` (never captured), ``stale``
+    (advertised lastmod strictly newer than our capture), ``fresh``
+    (captured and not out of date; a NULL lastmod can never prove
+    staleness, so it reads fresh).
+
+    The corpus is reduced to (url, warc_ts) at the scan; one url
+    equi-join decides everything.
+    """
+    crawled = pages.select("url", "warc_ts")
+    return (
+        entries.select(F.col("loc").alias("url"), "lastmod")
+        .join(crawled, "url", "left")
+        .select(
+            "url",
+            F.when(F.col("warc_ts").isNull(), F.lit("new"))
+            .when(F.col("lastmod") > F.col("warc_ts"), F.lit("stale"))
+            .otherwise(F.lit("fresh"))
+            .alias("status"),
+            "lastmod",
+        )
+    )
