@@ -890,6 +890,37 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+# script_stats fixture: planted per-script suffixes (doc_id % 7 picks
+# one; the base text is truncated to 50 chars so the planted script
+# dominates) — frozen strings shared by the Spark builder and the
+# oracle CTE
+_SCRIPT_PLANTS: dict[int, str] = {
+    1: " привет мир слово текст",
+    2: " το γράμμα κείμενο λέξη",
+    3: " كلمة نص حرف لغة",
+    4: " מילה טקסט אות שפה",
+    5: " 中文字符漢字文本",
+}
+
+
+def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system profile over planted multilingual suffixes:
+    doc_id%7 ∈ 1..5 appends 12 copies of a cyrillic/greek/arabic/
+    hebrew/cjk phrase to a 50-char base slice (planted script
+    dominates), other docs keep their latin base. The oracle replays
+    the same per-script regexp counts, argmax and BIGINT permille."""
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    text = F.substring(F.col("text"), 1, 50)
+    planted = F.lit("")
+    for k, phrase in _SCRIPT_PLANTS.items():
+        planted = F.when(doc_id % 7 == k, F.repeat(F.lit(phrase), 12)).otherwise(
+            planted
+        )
+    src = docs.select(doc_id.alias("doc_id"), F.concat(text, planted).alias("text"))
+    return textstats.script_stats(src)
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir))
 
@@ -1181,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
+        "script_stats": q_script_stats,
         "fingerprints": q_fingerprints,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
@@ -1975,6 +2007,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             FROM b
         """,
         "langid": _langid_sql(),
+        "script_stats": _script_stats_sql(),
         "fingerprints": r"""
             WITH c AS (SELECT doc_id,
                               lower(regexp_replace(text, '\s+', ' ', 'g')) AS canon
@@ -2322,6 +2355,45 @@ def _langid_sql() -> str:
         WITH b AS (SELECT doc_id, lang, {", ".join(counts)} FROM documents),
         m AS (SELECT *, {best} AS best FROM b)
         SELECT doc_id, lang, {pred} AS pred_lang, {cols} FROM m
+    """
+
+
+def _script_stats_sql() -> str:
+    """Per-script regexp counts + argmax + BIGINT permille generated
+    from the operator's own SCRIPT_RANGES / the query's plant table —
+    the two sides cannot drift apart. Patterns are literal unicode
+    ranges, exact under both Java regex and DuckDB RE2."""
+    from webextract.operators.textstats import SCRIPT_ORDER, SCRIPT_RANGES
+
+    plants = " ".join(
+        f"WHEN doc_id % 7 = {k} THEN repeat('{p}', 12)"
+        for k, p in _SCRIPT_PLANTS.items()
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{SCRIPT_RANGES[s]}')) AS BIGINT)"
+        f" AS c_{s}"
+        for s in SCRIPT_ORDER
+    )
+    total = " + ".join(f"c_{s}" for s in SCRIPT_ORDER)
+    best = f"greatest({', '.join(f'c_{s}' for s in SCRIPT_ORDER)})"
+    dom = " ".join(
+        f"WHEN best > 0 AND c_{s} = best THEN '{s}'" for s in SCRIPT_ORDER
+    )
+    cols = ", ".join(f"c_{s}" for s in SCRIPT_ORDER)
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 substr(text, 1, 50)
+                   || (CASE {plants} ELSE '' END) AS text
+          FROM documents),
+        b AS (SELECT doc_id, {counts} FROM src),
+        m AS (SELECT *, {total} AS n_scripted, {best} AS best FROM b)
+        SELECT doc_id, {cols}, n_scripted,
+               CASE {dom} ELSE 'none' END AS script,
+               CASE WHEN n_scripted > 0
+                    THEN (best * 1000) // n_scripted
+                    ELSE 0 END AS script_permille
+        FROM m
     """
 
 

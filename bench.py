@@ -107,6 +107,7 @@ def main() -> None:
         "token_stats",
         "quality",
         "langid",
+        "script_stats",
         "fingerprints",
         "repetition",
         "redact_pii",

@@ -362,6 +362,34 @@ def test_lang_id_markers(spark):
     assert rows[1] == "en" and rows[2] == "de" and rows[3] == "und"
 
 
+def test_script_stats_dominant_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),                       # pure latin
+            (2, "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 ok"),  # cyrillic-dominant
+            (3, "\u4e2d\u6587\u5b57\u7b26\u6f22\u5b57"),                           # cjk
+            (4, "12345 !!!"),                          # no scripted chars
+            (5, "ab \u0431\u0432"),                  # 2-2 tie -> first of SCRIPT_ORDER
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in textstats.script_stats(df).collect()}
+    assert rows[1]["script"] == "latin" and rows[1]["script_permille"] == 1000
+    assert rows[2]["script"] == "cyrillic"
+    assert rows[2]["c_cyrillic"] == 9 and rows[2]["c_latin"] == 2
+    assert rows[2]["script_permille"] == 9000 // 11
+    assert rows[3]["script"] == "cjk" and rows[3]["n_scripted"] == 6
+    assert rows[4]["script"] == "none" and rows[4]["script_permille"] == 0
+    assert rows[5]["script"] == "latin"  # deterministic tie-break
+
+
+def test_script_stats_is_pure_map_stage(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = textstats.script_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_fingerprint_whitespace_canon(spark):
     df = spark.createDataFrame(
         [(1, "A  B\tC"), (2, "a b c")], ["doc_id", "text"]

@@ -222,3 +222,61 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(canon).alias("fp"),
         F.length(canon).alias("canon_len"),
     )
+
+
+# Unicode script ranges (BMP, literal chars so the identical pattern
+# text runs under both Java regex and DuckDB's RE2). Order is the
+# deterministic argmax precedence.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "hebrew": "[֐-׿]",
+    "cjk": "[一-鿿぀-ヿ가-힯]",
+}
+SCRIPT_ORDER: tuple[str, ...] = tuple(SCRIPT_RANGES)
+
+
+def script_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document writing-system profile: character counts for six
+    Unicode script classes, the dominant script (deterministic argmax
+    — first of SCRIPT_ORDER on ties, 'none' when no scripted chars),
+    and its share in integer permille (BIGINT ``div`` — no floats, so
+    the value is hash-exact vs the oracle at any magnitude).
+
+    The script-level companion of :func:`lang_id` (the reference
+    dispatches model families by script before language,
+    paddleocr.py:356-391 — latin/arabic/cyrillic groups); counts use
+    BMP ranges stated as literal characters so the SAME pattern text
+    is exact under Java regex and DuckDB RE2. All codegen
+    (`regexp_count`), map-only — no shuffle, no Python.
+    """
+    c = F.col(text_col)
+    counts = {
+        s: F.regexp_count(c, F.lit(rx)).cast("long")
+        for s, rx in SCRIPT_RANGES.items()
+    }
+    total = counts[SCRIPT_ORDER[0]]
+    for s in SCRIPT_ORDER[1:]:
+        total = total + counts[s]
+    best = counts[SCRIPT_ORDER[0]]
+    for s in SCRIPT_ORDER[1:]:
+        best = F.greatest(best, counts[s])
+    dom = F.lit("none")
+    for s in reversed(SCRIPT_ORDER):
+        dom = F.when((best > 0) & (counts[s] == best), F.lit(s)).otherwise(dom)
+    return docs.select(
+        "doc_id",
+        *[counts[s].alias(f"c_{s}") for s in SCRIPT_ORDER],
+        total.alias("n_scripted"),
+        dom.alias("script"),
+        F.when(total > 0, best * F.lit(1000)).otherwise(F.lit(0)).alias("_b"),
+    ).select(
+        "doc_id",
+        *[f"c_{s}" for s in SCRIPT_ORDER],
+        "n_scripted",
+        "script",
+        F.expr("CASE WHEN n_scripted > 0 THEN _b div n_scripted"
+               " ELSE 0 END").alias("script_permille"),
+    )
