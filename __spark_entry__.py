@@ -90,6 +90,21 @@ def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(salted_repartition(pages, nparts)).select("url", "text")
 
 
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown rendering mode (cfg.markdown=True): the same
+    extraction with tag decorations — the template's h1 headline
+    renders '# '-prefixed, the body paragraph plain. The oracle states
+    the full decorated text per url; richer tag coverage (li,
+    blockquote, pre, h2-h6) is pinned by tests/test_markdown.py."""
+    from webextract.config import ExtractConfig
+
+    pages = pages_from_documents(spark, sf_dir)
+    nparts = spark.sparkContext.defaultParallelism
+    return extract_pages(
+        salted_repartition(pages, nparts), ExtractConfig(markdown=True)
+    ).select("url", "text")
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source roundtrip: pages → framed WARC/1.0 segment blobs
     (JVM concat + octet framing) → :func:`parse_warc` (one Arrow
@@ -1166,6 +1181,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract": q_extract,
+        "extract_markdown": q_extract_markdown,
         "warc_roundtrip": q_warc_roundtrip,
         "extract_lang_stats": q_extract_lang_stats,
         "topk_hosts": q_topk_hosts,
@@ -1404,6 +1420,8 @@ FROM documents docs LEFT JOIN comp c USING (doc_id)
 def oracle_sql() -> dict[str, str]:
     return {
         "extract": f"SELECT {_URL} AS url, {_EXTRACTED} AS text FROM documents",
+        "extract_markdown": f"SELECT {_URL} AS url, '# ' || {_EXTRACTED}"
+        " AS text FROM documents",
         "warc_roundtrip": f"""
             WITH h AS (SELECT {_URL} AS url,
                               1704067200 + doc_id AS ts_s,

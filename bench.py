@@ -70,6 +70,7 @@ def main() -> None:
     # -- headline operator queries (one timed run each) -----------------
     qs = entrymod.queries()
     headline = [
+        "extract_markdown",
         "warc_roundtrip",
         "tables",
         "layout_regions",

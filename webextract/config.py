@@ -50,6 +50,16 @@ class ExtractConfig:
     # re-decode before tokenization. Default off — goldens frozen.
     fix_mojibake: bool = False
 
+    # Markdown rendering of the extracted text (the analog of
+    # PP-Structure's structure-preserving output — recovered table
+    # HTML at ppstructure/predict_system.py:111-117 — applied to the
+    # text stream): retained blocks are decorated by tag (headings →
+    # '#'*level, li → '- ', blockquote → '> ', pre → fenced) and
+    # joined with the frozen separator. Off by default — plain-text
+    # goldens stay byte-frozen; spans always slice the UNDECORATED
+    # block text (functions/merger.py::md_decorate).
+    markdown: bool = False
+
     # RTL segment reversal (the arabic pred_reverse analog,
     # rec_postprocess.py:51-65): off by default — goldens are cut with
     # passthrough. Enable for an 'ar'-tagged subset of pages:

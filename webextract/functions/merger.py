@@ -26,6 +26,29 @@ import numpy as np
 from webextract.config import ExtractConfig
 
 
+# markdown decorations by block tag (cfg.markdown=True): pure,
+# length-transparent — spans keep slicing the raw block text, the
+# OUTPUT text carries the decorated form
+_MD_HEADING = {f"h{n}": "#" * n + " " for n in range(1, 7)}
+
+
+def md_decorate(tag: str, text: str) -> str:
+    """Markdown form of one retained block (pure function of
+    (tag, text); whitespace inside ``text`` was already canonicalized
+    by the tokenizer, so decorations are single-line except the pre
+    fence)."""
+    p = _MD_HEADING.get(tag)
+    if p is not None:
+        return p + text
+    if tag == "li":
+        return "- " + text
+    if tag == "blockquote":
+        return "> " + text
+    if tag == "pre":
+        return "```\n" + text + "\n```"
+    return text
+
+
 def merge_spans(
     blocks: dict[str, list],
     scores: np.ndarray,
@@ -45,8 +68,8 @@ def merge_spans(
     for i in np.flatnonzero(keep):
         t = texts[i]
         if prev_text is not None and t == prev_text:
-            continue  # CTC-style adjacent-duplicate drop
-        out_texts.append(t)
+            continue  # CTC-style adjacent-duplicate drop (raw text)
+        out_texts.append(md_decorate(blocks["tag"][i], t) if cfg.markdown else t)
         spans.append(
             (
                 int(blocks["block_id"][i]),
