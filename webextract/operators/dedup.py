@@ -82,6 +82,32 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) 
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_table(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(doc_id, band_id, bh): the LSH band-bucket index of a corpus —
+    the join key space of :func:`lsh_pairs`, exposed so OTHER lookups
+    can probe the same buckets (e.g. the stream-static near-dup join
+    in streaming/neardup_stream.py, where a live feed is matched
+    against this table as the static index)."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(docs, k, n)
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)])).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("band")
+    ).select("doc_id", "band.band_id", "band.bh")
+
+
 def lsh_pairs(
     docs: DataFrame,
     k: int = MINHASH_K,
@@ -97,20 +123,9 @@ def lsh_pairs(
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     """
     assert k % bands == 0
-    r = k // bands
-    sig = minhash_signatures(docs, k, n)
-    band_rows = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)])).alias("bh"),
-        )
-        for b in range(bands)
-    ]
     # both self-join sides read the band table; checkpoint so the
     # minhash aggregation underneath runs once, not twice
-    bt = sig.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("band")
-    ).select("doc_id", "band.band_id", "band.bh").localCheckpoint(eager=False)
+    bt = lsh_band_table(docs, k, bands, n).localCheckpoint(eager=False)
     a = bt.alias("a")
     b = bt.alias("b")
     return (
