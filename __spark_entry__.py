@@ -811,6 +811,19 @@ _OUTLINE_SHAPES: dict[int, tuple[tuple[int, int, str, int | None], ...]] = {
 }
 
 
+def q_heading_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadcrumb paths over the recovered outline (ancestor headings
+    joined ' > ' — the chunk metadata a RAG pipeline wants). Runs the
+    REAL chain — html render → outline recovery → iterated ancestor
+    walk; the oracle walks the frozen shape table with a DuckDB
+    `WITH RECURSIVE` instead, so the Spark unrolled-join walk is
+    checked against an independent recursive statement of the same
+    tree."""
+    from webextract.operators.pagemeta import heading_paths
+
+    return heading_paths(q_document_outline(spark, sf_dir))
+
+
 def q_document_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heading-tree recovery over three planted outline shapes
     (including an orphan h2 before any h1 and an h3 that skips a
@@ -1219,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_txt": q_robots_txt,
         "sitemap_frontier": q_sitemap_frontier,
         "document_outline": q_document_outline,
+        "heading_paths": q_heading_paths,
         "split_assign": q_split_assign,
         "vocab_topk": q_vocab_topk,
         "inverted_index": q_inverted_index,
@@ -1926,6 +1940,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             FROM ent
         """,
         "document_outline": _document_outline_sql(),
+        "heading_paths": _heading_paths_sql(),
         "split_assign": _split_assign_sql(),
         "vocab_topk": f"""
             WITH g AS (SELECT doc_id,
@@ -2435,6 +2450,35 @@ def _split_assign_sql() -> str:
         SELECT doc_id, bucket,
                CASE {arms} ELSE '{SPLIT_THRESHOLDS[-1][0]}' END AS split
         FROM b
+    """
+
+
+def _heading_paths_sql() -> str:
+    """Breadcrumb ground truth: a recursive parent walk over the SAME
+    frozen shape VALUES the Spark query renders — an independent
+    formulation (WITH RECURSIVE vs unrolled joins) of the same tree."""
+    rows = []
+    for m, shape in _OUTLINE_SHAPES.items():
+        for pos, level, heading, par in shape:
+            par_sql = "CAST(NULL AS INTEGER)" if par is None else str(par)
+            rows.append(f"({m}, {pos}, {level}, {heading!r}, {par_sql})")
+    values = ",\n                   ".join(rows)
+    return f"""
+        WITH RECURSIVE shape(m, pos, level, heading_t, parent_pos) AS (
+            VALUES {values}),
+        walk(m, pos, level, heading_t, path_t, cur) AS (
+            SELECT m, pos, level, heading_t, heading_t, parent_pos
+            FROM shape
+            UNION ALL
+            SELECT w.m, w.pos, w.level, w.heading_t,
+                   s.heading_t || ' > ' || w.path_t, s.parent_pos
+            FROM walk w JOIN shape s ON s.m = w.m AND s.pos = w.cur),
+        done AS (SELECT * FROM walk WHERE cur IS NULL)
+        SELECT {_URL} AS url, done.pos, done.level,
+               replace(done.heading_t, '#', CAST(doc_id AS VARCHAR))
+                   AS heading,
+               replace(done.path_t, '#', CAST(doc_id AS VARCHAR)) AS path
+        FROM documents JOIN done ON done.m = doc_id % 3
     """
 
 

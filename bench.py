@@ -94,6 +94,7 @@ def main() -> None:
         "lang_rebalance",
         "host_boiler",
         "document_outline",
+        "heading_paths",
         "split_assign",
         "vocab_topk",
         "inverted_index",

@@ -104,3 +104,15 @@ def test_layout_summary_rollup(spark):
 def test_empty_and_none_html(spark):
     df = spark.createDataFrame([("a", None), ("b", b"")], ["url", "html"])
     assert layout_regions(df).count() == 0
+
+
+def test_heading_paths_skip_stale_branches(spark):
+    # after <h1>A <h2>B <h1>C <h3>D, D's chain is C > D — the stale h2
+    # branch B must NOT appear (a per-level window trick would include it)
+    from webextract.operators.pagemeta import document_outline, heading_paths
+    from pyspark.sql import functions as F
+
+    html = b"<html><body><h1>A</h1><h2>B</h2><h1>C</h1><h3>D</h3></body></html>"
+    pages = spark.createDataFrame([("u", bytearray(html))], "url string, html binary")
+    got = {r.heading: r.path for r in heading_paths(document_outline(pages)).collect()}
+    assert got == {"A": "A", "B": "A > B", "C": "C", "D": "C > D"}

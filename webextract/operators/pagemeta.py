@@ -95,3 +95,56 @@ def document_outline(pages: DataFrame) -> DataFrame:
         g = cands[1] if lev == 2 else F.greatest(*[cands[k] for k in range(1, lev)])
         parent = parent.when(F.col("level") == lev, F.nullif(g, F.lit(-1)))
     return base.select("url", "pos", "level", "heading", parent.alias("parent_pos"))
+
+
+def heading_paths(outline: DataFrame, max_depth: int = 6) -> DataFrame:
+    """(url, pos, level, heading, path): every heading with its full
+    breadcrumb — ancestor headings joined with ' > ', ending in the
+    heading itself (e.g. 'Intro > Methods > Data'). The section
+    metadata a retrieval pipeline attaches to chunks.
+
+    The ancestor chain is the parent_pos walk from
+    :func:`document_outline`, NOT "last heading of each smaller
+    level" (after <h1>A <h2>B <h1>C <h3>D, D's chain is C > D — B is
+    a stale branch a per-level window would wrongly include). Heading
+    levels cap the walk at ``max_depth - 1`` hops, so it unrolls into
+    that many (url, pos) equi-joins of the per-page-bounded outline
+    table against itself — no recursion state, no Python; rows whose
+    walk has already reached a root pass through untouched.
+    """
+    anc = outline.select(
+        F.col("url").alias("a_url"),
+        F.col("pos").alias("a_pos"),
+        F.col("heading").alias("a_heading"),
+        F.col("parent_pos").alias("a_parent"),
+    )
+    cur = outline.select(
+        "url",
+        "pos",
+        "level",
+        "heading",
+        F.col("heading").alias("path"),
+        F.col("parent_pos").alias("walk"),
+    )
+    for _ in range(max_depth - 1):
+        hit = F.col("a_heading").isNotNull()
+        cur = (
+            cur.join(
+                anc,
+                (F.col("url") == F.col("a_url")) & (F.col("walk") == F.col("a_pos")),
+                "left",
+            )
+            .select(
+                "url",
+                "pos",
+                "level",
+                "heading",
+                F.when(hit, F.concat(F.col("a_heading"), F.lit(" > "), F.col("path")))
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.when(hit, F.col("a_parent"))
+                .otherwise(F.lit(None).cast("int"))
+                .alias("walk"),
+            )
+        )
+    return cur.select("url", "pos", "level", "heading", "path")
