@@ -29,6 +29,7 @@ BASIC = """<?xml version="1.0" encoding="UTF-8"?>
   </url>
   <url><loc>https://h.example/b</loc><lastmod>2024-03-02</lastmod></url>
   <url><loc>https://h.example/c</loc><lastmod>not-a-date</lastmod></url>
+  <url><loc>https://h.example/d</loc><lastmod>2024-03-01T12:00:30+02:00</lastmod></url>
   <url><priority>0.1</priority></url>
 </urlset>"""
 
@@ -36,7 +37,8 @@ BASIC = """<?xml version="1.0" encoding="UTF-8"?>
 def test_parse_sitemap_forms(spark):
     rows = {r.loc: r for r in parse_sitemap(_sm(spark, BASIC)).collect()}
     assert set(rows) == {"https://h.example/a", "https://h.example/b",
-                         "https://h.example/c"}  # loc-less entry dropped
+                         "https://h.example/c",
+                         "https://h.example/d"}  # loc-less entry dropped
     a = rows["https://h.example/a"]
     assert a.lastmod == dt.datetime(2024, 3, 1, 10, 20, 30)
     assert a.priority == 0.8
@@ -44,6 +46,8 @@ def test_parse_sitemap_forms(spark):
     assert b.lastmod == dt.datetime(2024, 3, 2)  # bare-date W3C form
     assert b.priority is None
     assert rows["https://h.example/c"].lastmod is None  # malformed → NULL
+    # +02:00 zoned form: 12:00:30+02:00 = 10:00:30 UTC (session TZ)
+    assert rows["https://h.example/d"].lastmod == dt.datetime(2024, 3, 1, 10, 0, 30)
 
 
 def test_parse_sitemap_index(spark):

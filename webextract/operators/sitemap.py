@@ -40,9 +40,11 @@ _PRIORITY_RE = r"(?is)<priority>\s*(.*?)\s*</priority>"
 
 
 def _lastmod_ts(col):
-    # W3C datetime: full ISO-8601 with zone, without zone, or bare date
+    # W3C datetime: full ISO-8601 with zone ('Z'/'+01' via X,
+    # '+01:00' via XXX), without zone, or bare date
     return F.coalesce(
         F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
         F.try_to_timestamp(col, F.lit("yyyy-MM-dd")),
     )
