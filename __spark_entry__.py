@@ -721,6 +721,17 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_verdict(pages_from_documents(spark, sf_dir), rules)
 
 
+def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew audit over the planted host distribution (half the corpus
+    on host0): per-host page counts, BIGINT-permille share, and the
+    salt factor (ceil(n / rows_per_task), rows_per_task=100 here so
+    the hot host warrants >1 salt at fixture scale). The oracle
+    restates counts and arithmetic from the _HOST formula."""
+    from webextract.operators.sampling import host_skew_report
+
+    return host_skew_report(pages_from_documents(spark, sf_dir), rows_per_task=100)
+
+
 def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl frontier from planted per-host sitemap.xml files: every
     host advertises its docs with doc_id%4!=3 (full ISO lastmod =
@@ -1230,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
         "robots_txt": q_robots_txt,
+        "host_skew": q_host_skew,
         "sitemap_frontier": q_sitemap_frontier,
         "document_outline": q_document_outline,
         "heading_paths": q_heading_paths,
@@ -1919,6 +1931,19 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                              AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN '/doc/1'
                    END AS rule_path
             FROM documents
+        """,
+        "host_skew": f"""
+            WITH c AS (
+              SELECT 'host' || CAST({_HOST} AS VARCHAR) || '.example'
+                         AS host,
+                     COUNT(*) AS n_pages
+              FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n_pages) AS n_total FROM c)
+            SELECT host, CAST(n_pages AS BIGINT) AS n_pages,
+                   CAST(n_pages * 1000 // n_total AS BIGINT)
+                       AS share_permille,
+                   CAST((n_pages + 99) // 100 AS BIGINT) AS salt_factor
+            FROM c, t
         """,
         "sitemap_frontier": f"""
             WITH hosts AS (SELECT DISTINCT {_HOST} AS h FROM documents),

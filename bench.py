@@ -96,6 +96,7 @@ def main() -> None:
         "document_outline",
         "heading_paths",
         "split_assign",
+        "host_skew",
         "vocab_topk",
         "inverted_index",
         "tfidf_keywords",

@@ -171,3 +171,32 @@ def test_split_assign_respects_custom_thresholds(spark):
         | ((F.col("bucket") >= 500) & (F.col("split") != "b"))
     ).count()
     assert bad == 0
+
+
+def test_host_skew_report_values(spark):
+    from webextract.operators.sampling import host_skew_report
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [(f"https://big.example/{i}",) for i in range(30)]
+        + [(f"https://small.example/{i}",) for i in range(10)],
+        ["url"],
+    )
+    rows = {r.host: r for r in host_skew_report(pages, rows_per_task=8).collect()}
+    big, small = rows["big.example"], rows["small.example"]
+    assert big.n_pages == 30 and big.share_permille == 750
+    assert big.salt_factor == 4            # ceil(30/8)
+    assert small.salt_factor == 2 and small.share_permille == 250
+
+
+def test_host_skew_partial_aggregation(spark):
+    from webextract.operators.sampling import host_skew_report
+    from webextract.sources.pages import pages_from_documents
+
+    plan = (
+        host_skew_report(pages_from_documents(spark, "/root/testdata/sf0.001"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # counting collapses map-side before the exchange — skew-immune
+    assert "partial_count" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

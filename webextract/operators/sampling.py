@@ -249,3 +249,44 @@ def split_assign(
     for name, cum in reversed(thresholds[:-1]):
         expr = F.when(F.col("bucket") < cum, F.lit(name)).otherwise(expr)
     return docs.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def host_skew_report(
+    pages: DataFrame,
+    rows_per_task: int = 100_000,
+    url_col: str = "url",
+) -> DataFrame:
+    """(host, n_pages, share_permille, salt_factor): the skew audit a
+    10^12-document run consults BEFORE picking its partitioning — which
+    hosts dominate the corpus (share in BIGINT permille) and how many
+    salt buckets each needs so no task sees more than ``rows_per_task``
+    of its rows (``salt_factor = ceil(n / rows_per_task)``, integer
+    arithmetic). The diagnostic face of the salted ``xxhash64(url)``
+    repartition in operators/extract.py: the extractor defends against
+    host-domain skew blindly; this states WHERE the skew is and how
+    much salting it actually warrants.
+
+    One partial-agg shuffle on host (word-count shape — the hot host
+    is itself the thing being counted, and counting is the one job
+    skew cannot hurt: partial aggregation collapses each partition's
+    rows to one (host, n) row map-side before the exchange).
+    """
+    from webextract.operators.links import host_of
+
+    counts = (
+        pages.select(host_of(F.col(url_col)).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    tot = counts.agg(F.sum("n_pages").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "n_pages",
+            F.expr("n_pages * 1000 div n_total").alias("share_permille"),
+            F.expr(f"(n_pages + {rows_per_task - 1}) div {rows_per_task}").alias(
+                "salt_factor"
+            ),
+        )
+    )
