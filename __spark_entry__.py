@@ -721,6 +721,15 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_verdict(pages_from_documents(spark, sf_dir), rules)
 
 
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus word-bigrams with occurrence totals and doc
+    frequencies (the n-gram-LM count table). The oracle replays the
+    same gram construction and two-level aggregation in SQL."""
+    from webextract.operators.vocab import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew audit over the planted host distribution (half the corpus
     on host0): per-host page counts, BIGINT-permille share, and the
@@ -1241,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
         "robots_txt": q_robots_txt,
+        "ngram_counts": q_ngram_counts,
         "host_skew": q_host_skew,
         "sitemap_frontier": q_sitemap_frontier,
         "document_outline": q_document_outline,
@@ -1931,6 +1941,26 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                              AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN '/doc/1'
                    END AS rule_path
             FROM documents
+        """,
+        "ngram_counts": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                     '{vocab.WORD_REGEX}') AS w
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(len(w) - 1),
+                                i -> w[i+1] || ' ' || w[i+2])) AS gram
+                  FROM t WHERE len(w) >= 2),
+            grid AS (SELECT doc_id, gram, COUNT(*) AS tf
+                     FROM g GROUP BY doc_id, gram),
+            tot AS (SELECT gram, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+                           COUNT(*) AS n_docs
+                    FROM grid GROUP BY gram),
+            r AS (SELECT *, row_number() OVER
+                         (ORDER BY n_occurrences DESC, gram ASC) AS rank
+                  FROM tot)
+            SELECT rank, gram, n_occurrences, n_docs FROM r
+            WHERE rank <= 20
         """,
         "host_skew": f"""
             WITH c AS (

@@ -98,6 +98,7 @@ def main() -> None:
         "split_assign",
         "host_skew",
         "vocab_topk",
+        "ngram_counts",
         "inverted_index",
         "tfidf_keywords",
         "blocklist",

@@ -145,3 +145,26 @@ def test_outline_orphan_and_empty(spark):
 def test_outline_attrs_and_inline_markup(spark):
     html = '<h2 id="s1" class="big">Hi <em>there</em></h2>'
     assert _outline(spark, html) == [(0, 2, "Hi <em>there</em>", None)]
+
+
+def test_ngram_counts_occurrences_not_distinct(spark):
+    from webextract.operators.vocab import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    rows = {r.gram: r for r in ngram_counts(docs, n=2, k=10).collect()}
+    # 'a b' occurs 3x in doc1 (occurrences, NOT per-doc distinct) + 1x in doc2
+    assert rows["a b"].n_occurrences == 4 and rows["a b"].n_docs == 2
+    assert rows["b a"].n_occurrences == 2 and rows["b a"].n_docs == 1
+    assert rows["a b"].rank == 1
+
+
+def test_ngram_counts_short_docs_and_topk_plan(spark):
+    from webextract.operators.vocab import ngram_counts
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "x y")], ["doc_id", "text"])
+    rows = ngram_counts(docs, n=2, k=5).collect()
+    assert [r.gram for r in rows] == ["x y"]  # 1-token doc contributes nothing
+    plan = ngram_counts(docs, n=2, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "partial_count" in plan

@@ -164,3 +164,44 @@ def blocklist_filter(
         F.size(hits).alias("n_blocked"),
         (F.size(hits) == 0).alias("keep"),
     )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus word-n-gram statistics: top-k n-grams by total
+    occurrences with doc frequencies — the count table an n-gram LM
+    (or a contamination/memorization audit) reads. Generalizes
+    :func:`vocab_topk` (n=1 on split tokens) to phrases; unlike
+    ``dedup.shingles`` the grams are NOT per-doc-distinct — counts are
+    occurrence totals, the LM quantity.
+
+    Shape: the gram array is built in-row (``transform`` over
+    ``sequence`` — codegen), then the same two-level aggregation as
+    the vocabulary build: (doc_id, gram) grid with map-side partial
+    counts, then gram totals + doc frequencies, then a distributed
+    TakeOrderedAndProject for the top-k (never a global sort).
+    """
+    toks = _words()
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grid = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("tf"))
+    )
+    totals = grid.groupBy("gram").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    )
+    order = [F.col("n_occurrences").desc(), F.col("gram").asc()]
+    top = totals.orderBy(*order).limit(k)
+    w = Window.partitionBy(
+        F.coalesce(F.substring(F.col("gram"), 0, 0), F.lit(""))
+    ).orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "gram", "n_occurrences", "n_docs"
+    )
