@@ -116,3 +116,18 @@ def test_heading_paths_skip_stale_branches(spark):
     pages = spark.createDataFrame([("u", bytearray(html))], "url string, html binary")
     got = {r.heading: r.path for r in heading_paths(document_outline(pages)).collect()}
     assert got == {"A": "A", "B": "A > B", "C": "C", "D": "C > D"}
+
+
+def test_heading_paths_single_shuffle_no_python(spark):
+    from webextract.operators.pagemeta import document_outline, heading_paths
+    from webextract.sources.pages import pages_from_documents
+    import re
+
+    plan = (
+        heading_paths(document_outline(
+            pages_from_documents(spark, "/root/testdata/sf0.001")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one groupBy(url) exchange; the ancestor walk is in-row
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

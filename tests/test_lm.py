@@ -65,3 +65,13 @@ def test_score_plan_broadcasts_lm(spark):
     ref = _df(spark, [(0, "a b c")])
     plan = lm_score(_df(spark, [(1, "a b x")]), unigram_lm(ref))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_empty_reference_degrades_to_uniform_middle(spark):
+    # a reference filter matching nothing must yield DEFINED scores
+    # (uniform cost 1), not NULLs silently bucketed 'middle'
+    ref = _df(spark, []).filter("doc_id < 0")
+    docs = _df(spark, [(1, "some words here"), (2, "other text")])
+    rows = lm_score(docs, unigram_lm(ref)).collect()
+    assert {r.bucket for r in rows} == {"middle"}
+    assert all(r.total_bits == r.n_tokens for r in rows)  # cost 1 each

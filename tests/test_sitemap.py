@@ -30,6 +30,8 @@ BASIC = """<?xml version="1.0" encoding="UTF-8"?>
   <url><loc>https://h.example/b</loc><lastmod>2024-03-02</lastmod></url>
   <url><loc>https://h.example/c</loc><lastmod>not-a-date</lastmod></url>
   <url><loc>https://h.example/d</loc><lastmod>2024-03-01T12:00:30+02:00</lastmod></url>
+  <url><loc>https://h.example/e?a=1&amp;b=2</loc><lastmod>2024-03-01T10:20:30.000Z</lastmod></url>
+  <url><loc>https://h.example/f</loc><lastmod>2024-03-01T10:20Z</lastmod></url>
   <url><priority>0.1</priority></url>
 </urlset>"""
 
@@ -37,8 +39,9 @@ BASIC = """<?xml version="1.0" encoding="UTF-8"?>
 def test_parse_sitemap_forms(spark):
     rows = {r.loc: r for r in parse_sitemap(_sm(spark, BASIC)).collect()}
     assert set(rows) == {"https://h.example/a", "https://h.example/b",
-                         "https://h.example/c",
-                         "https://h.example/d"}  # loc-less entry dropped
+                         "https://h.example/c", "https://h.example/d",
+                         "https://h.example/e?a=1&b=2",  # XML-unescaped
+                         "https://h.example/f"}  # loc-less entry dropped
     a = rows["https://h.example/a"]
     assert a.lastmod == dt.datetime(2024, 3, 1, 10, 20, 30)
     assert a.priority == 0.8
@@ -48,6 +51,9 @@ def test_parse_sitemap_forms(spark):
     assert rows["https://h.example/c"].lastmod is None  # malformed → NULL
     # +02:00 zoned form: 12:00:30+02:00 = 10:00:30 UTC (session TZ)
     assert rows["https://h.example/d"].lastmod == dt.datetime(2024, 3, 1, 10, 0, 30)
+    # fractional-second and minute-precision W3C forms
+    assert rows["https://h.example/e?a=1&b=2"].lastmod == dt.datetime(2024, 3, 1, 10, 20, 30)
+    assert rows["https://h.example/f"].lastmod == dt.datetime(2024, 3, 1, 10, 20)
 
 
 def test_parse_sitemap_index(spark):
@@ -109,3 +115,22 @@ def test_frontier_prunes_corpus_to_two_columns(spark):
     for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         cols = [c.split(":")[0] for c in m.split(",") if c]
         assert len(cols) <= 2, m
+
+
+def test_frontier_judges_latest_capture(spark):
+    import datetime as dt
+
+    entries = spark.createDataFrame(
+        [("h", "https://h/p", dt.datetime(2024, 3, 1))],
+        "host string, loc string, lastmod timestamp",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://h/p", dt.datetime(2024, 1, 1)),  # early capture
+            ("https://h/p", dt.datetime(2024, 6, 1)),  # re-crawl AFTER lastmod
+        ],
+        "url string, warc_ts timestamp",
+    )
+    rows = sitemap_frontier(entries, pages).collect()
+    # ONE row, judged against the LATEST capture -> fresh
+    assert len(rows) == 1 and rows[0].status == "fresh"

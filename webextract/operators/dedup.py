@@ -47,23 +47,33 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def shingle_array(toks, n: int):
+    """Word n-gram array over a token-array Column, built in-row
+    (``transform`` over ``sequence`` — codegen; a row shorter than
+    ``n`` tokens yields the EMPTY array, never a descending
+    ``sequence``). THE one shingle/gram construction — dedup's
+    exploded shingles, vocab.ngram_counts' occurrence grams and the
+    streaming in-row minhash (whose band parity with the batch path
+    depends on this expression being shared, not copied) all build on
+    it."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
-    Built with ``transform`` over a ``sequence`` — the shingle array is
-    materialized per row inside codegen, then exploded. For n=1 this is
+    ``explode`` of :func:`shingle_array` (an empty array emits no
+    rows — the too-short-doc filter by construction). For n=1 this is
     the distinct token set.
     """
-    toks = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return (
-        docs.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    sh = shingle_array(F.split(F.col("text"), " "), n)
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) -> DataFrame:

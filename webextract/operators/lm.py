@@ -65,14 +65,18 @@ def unigram_lm(ref_docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     ``ref_docs`` is the clean reference corpus (CCNet trains on
     Wikipedia; the driver query freezes ``doc_id % 10 = 0`` as its
-    stand-in) and must be non-empty. One groupBy over the exploded
-    tokens plus a one-row total; the result is vocabulary-sized and
-    meant to be broadcast by the caller.
+    stand-in). One groupBy over the exploded tokens plus a one-row
+    total; the result is vocabulary-sized and meant to be broadcast by
+    the caller. The count table is checkpointed because it feeds
+    THREE plan branches (the total here, the scoring join and the OOV
+    scalar in :func:`lm_score`) — without it Catalyst re-runs the
+    reference explode+groupBy once per branch (the lsh_pairs lesson).
     """
     counts = (
         _tokens(ref_docs, text_col)
         .groupBy("token")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(F.sum("c").alias("total"))
     return counts.crossJoin(F.broadcast(tot)).select(
@@ -90,9 +94,14 @@ def lm_score(docs: DataFrame, lm: DataFrame, text_col: str = "text") -> DataFram
     ``bits_per_kt`` is integer millibits-per-token; ``bucket`` compares
     it to the corpus mean by BIGINT cross-multiplication (no division,
     no floats — see module docstring). OOV tokens cost ``max(cost)+1``
-    — one bit past the rarest in-vocabulary token.
+    — one bit past the rarest in-vocabulary token. An EMPTY model
+    (reference corpus matched nothing) degrades to a defined uniform
+    cost of 1 for every token — no signal, every doc scores equal and
+    lands 'middle' — instead of NULL scores silently doing the same.
     """
-    oov = lm.agg((F.max("cost") + F.lit(1)).alias("oov_cost"))
+    oov = lm.agg(
+        F.coalesce(F.max("cost") + F.lit(1), F.lit(1)).alias("oov_cost")
+    )
     scored = (
         _tokens(docs, text_col)
         .join(F.broadcast(lm), "token", "left")

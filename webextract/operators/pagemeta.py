@@ -106,45 +106,48 @@ def heading_paths(outline: DataFrame, max_depth: int = 6) -> DataFrame:
     The ancestor chain is the parent_pos walk from
     :func:`document_outline`, NOT "last heading of each smaller
     level" (after <h1>A <h2>B <h1>C <h3>D, D's chain is C > D — B is
-    a stale branch a per-level window would wrongly include). Heading
-    levels cap the walk at ``max_depth - 1`` hops, so it unrolls into
-    that many (url, pos) equi-joins of the per-page-bounded outline
-    table against itself — no recursion state, no Python; rows whose
-    walk has already reached a root pass through untouched.
+    a stale branch a per-level window would wrongly include).
+
+    Scale shape: ONE shuffle. The outline is per-page bounded, so the
+    page's headings are packed into a single array (groupBy url +
+    collect_list) and the parent walk runs IN-ROW: each of the
+    ``max_depth - 1`` hops is an ``array filter + get`` lookup into
+    that array — pure column algebra, no Python, and no re-shuffling
+    of the outline relation per hop (the unrolled self-join version
+    paid five shuffles, most rows riding them as dead weight after
+    their walk had already reached a root).
     """
-    anc = outline.select(
-        F.col("url").alias("a_url"),
-        F.col("pos").alias("a_pos"),
-        F.col("heading").alias("a_heading"),
-        F.col("parent_pos").alias("a_parent"),
+    packed = outline.groupBy("url").agg(
+        F.collect_list(
+            F.struct("pos", "level", "heading", "parent_pos")
+        ).alias("hs")
     )
-    cur = outline.select(
+
+    def breadcrumb(hs, h):
+        path = h["heading"]
+        cur = h["parent_pos"]
+        for _ in range(max_depth - 1):
+            anc = F.get(F.filter(hs, lambda x: x["pos"] == cur), 0)
+            path = F.when(
+                anc.isNotNull(), F.concat(anc["heading"], F.lit(" > "), path)
+            ).otherwise(path)
+            cur = F.when(anc.isNotNull(), anc["parent_pos"]).otherwise(
+                F.lit(None).cast("int")
+            )
+        return path
+
+    walked = packed.select(
         "url",
-        "pos",
-        "level",
-        "heading",
-        F.col("heading").alias("path"),
-        F.col("parent_pos").alias("walk"),
+        F.explode(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.struct(
+                    h["pos"].alias("pos"),
+                    h["level"].alias("level"),
+                    h["heading"].alias("heading"),
+                    breadcrumb(F.col("hs"), h).alias("path"),
+                ),
+            )
+        ).alias("r"),
     )
-    for _ in range(max_depth - 1):
-        hit = F.col("a_heading").isNotNull()
-        cur = (
-            cur.join(
-                anc,
-                (F.col("url") == F.col("a_url")) & (F.col("walk") == F.col("a_pos")),
-                "left",
-            )
-            .select(
-                "url",
-                "pos",
-                "level",
-                "heading",
-                F.when(hit, F.concat(F.col("a_heading"), F.lit(" > "), F.col("path")))
-                .otherwise(F.col("path"))
-                .alias("path"),
-                F.when(hit, F.col("a_parent"))
-                .otherwise(F.lit(None).cast("int"))
-                .alias("walk"),
-            )
-        )
-    return cur.select("url", "pos", "level", "heading", "path")
+    return walked.select("url", "r.pos", "r.level", "r.heading", "r.path")

@@ -269,7 +269,11 @@ def host_skew_report(
     One partial-agg shuffle on host (word-count shape — the hot host
     is itself the thing being counted, and counting is the one job
     skew cannot hurt: partial aggregation collapses each partition's
-    rows to one (host, n) row map-side before the exchange).
+    rows to one (host, n) row map-side before the exchange). The
+    host-sized count table feeds TWO plan branches (the total scalar
+    and the output) — checkpointed so the corpus pass runs ONCE, not
+    once per branch (the lsh_pairs lesson; an audit of a 10^12-row
+    corpus must not scan it twice to derive one scalar).
     """
     from webextract.operators.links import host_of
 
@@ -277,6 +281,7 @@ def host_skew_report(
         pages.select(host_of(F.col(url_col)).alias("host"))
         .groupBy("host")
         .agg(F.count("*").alias("n_pages"))
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(F.sum("n_pages").alias("n_total"))
     return (

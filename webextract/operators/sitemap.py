@@ -14,17 +14,20 @@ reference WHAT to process before any per-item work
 Parsing is the sitemaps.org 0.9 schema over codegen regex (the same
 tag-isolating approach as pagemeta.py): ``<url>`` elements isolated
 non-greedily, ``<loc>``/``<lastmod>``/``<priority>`` extracted per
-element with whitespace tolerance; ``lastmod`` accepts both W3C
-datetime forms seen in the wild (full ISO-8601 and bare
-``YYYY-MM-DD``) via ``try_to_timestamp`` fallbacks — a malformed
-value degrades to NULL, never an error.
+element with whitespace tolerance; ``<loc>`` values are XML-
+unescaped (the spec REQUIRES entity escaping — an un-unescaped
+``&amp;`` would miss the crawled corpus forever); ``lastmod``
+accepts the full W3C datetime family (second, fractional-second and
+minute precisions × Z/+01/+01:00/no zone, plus bare date) via
+``try_to_timestamp`` fallbacks — a malformed value degrades to NULL,
+never an error.
 
 Scale shape: sitemap files are one row per HOST (KBs each — tiny next
 to the corpus). Parsing explodes only the tiny side; the frontier
-join reduces the corpus to (url, warc_ts) AT THE SCAN (column-pruned)
-and equi-joins on url — the one shuffle this operator ever does, and
-none at all when the corpus table is bucketed by url
-(sources/bucketed.py).
+reduces the corpus to (url, warc_ts) AT THE SCAN (column-pruned),
+collapses re-crawls to the latest capture with a partial-agg groupBy,
+and equi-joins on url — both on the same key, and both free when the
+corpus table is bucketed by url (sources/bucketed.py).
 """
 
 from __future__ import annotations
@@ -40,14 +43,39 @@ _PRIORITY_RE = r"(?is)<priority>\s*(.*?)\s*</priority>"
 
 
 def _lastmod_ts(col):
-    # W3C datetime: full ISO-8601 with zone ('Z'/'+01' via X,
-    # '+01:00' via XXX), without zone, or bare date
-    return F.coalesce(
-        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
-        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-        F.try_to_timestamp(col, F.lit("yyyy-MM-dd")),
+    # Every W3C datetime precision (sitemaps.org mandates W3C forms):
+    # second and fractional-second (generators commonly emit .000Z),
+    # minute-precision, each with 'Z'/'+01' (X) or '+01:00' (XXX)
+    # zones or none, plus the bare date. A form outside the family
+    # degrades to NULL, never an error.
+    pats = (
+        "yyyy-MM-dd'T'HH:mm:ss.SSSX",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        "yyyy-MM-dd'T'HH:mm:ss.SSS",
+        "yyyy-MM-dd'T'HH:mm:ssX",
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+        "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd'T'HH:mmX",
+        "yyyy-MM-dd'T'HH:mmXXX",
+        "yyyy-MM-dd'T'HH:mm",
+        "yyyy-MM-dd",
     )
+    return F.coalesce(*[F.try_to_timestamp(col, F.lit(p)) for p in pats])
+
+
+def _xml_unescape(col):
+    # sitemaps.org 0.9 REQUIRES loc values entity-escaped; undo the
+    # five predefined XML entities so advertised urls equi-join the
+    # crawled corpus ('&amp;' LAST so '&amp;lt;' round-trips to '&lt;')
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
 
 
 def parse_sitemap(sitemaps: DataFrame, body_col: str = "body") -> DataFrame:
@@ -68,7 +96,7 @@ def parse_sitemap(sitemaps: DataFrame, body_col: str = "body") -> DataFrame:
     return (
         ex.select(
             "host",
-            loc.alias("loc"),
+            _xml_unescape(loc).alias("loc"),
             _lastmod_ts(F.nullif(lastmod, F.lit(""))).alias("lastmod"),
             F.nullif(prio, F.lit("")).try_cast("double").alias("priority"),
         )
@@ -92,7 +120,7 @@ def parse_sitemap_index(sitemaps: DataFrame, body_col: str = "body") -> DataFram
     return (
         ex.select(
             "host",
-            loc.alias("child_loc"),
+            _xml_unescape(loc).alias("child_loc"),
             _lastmod_ts(F.nullif(lastmod, F.lit(""))).alias("lastmod"),
         )
         .filter(F.col("child_loc") != "")
@@ -106,10 +134,16 @@ def sitemap_frontier(entries: DataFrame, pages: DataFrame) -> DataFrame:
     (captured and not out of date; a NULL lastmod can never prove
     staleness, so it reads fresh).
 
-    The corpus is reduced to (url, warc_ts) at the scan; one url
-    equi-join decides everything.
+    Multi-capture corpora (the latest_snapshot/crawl_diff world) are
+    judged against the LATEST capture per url — without that rollup a
+    twice-captured page would emit two contradictory frontier rows.
+    The corpus is reduced to (url, warc_ts) at the scan, collapsed to
+    max(warc_ts) with a partial-agg groupBy; one url equi-join then
+    decides everything.
     """
-    crawled = pages.select("url", "warc_ts")
+    crawled = pages.select("url", "warc_ts").groupBy("url").agg(
+        F.max("warc_ts").alias("warc_ts")
+    )
     return (
         entries.select(F.col("loc").alias("url"), "lastmod")
         .join(crawled, "url", "left")

@@ -65,6 +65,23 @@ def word_grid(docs: DataFrame) -> DataFrame:
     )
 
 
+def _ranked_topk(totals, key_col: str, k: int):
+    """Distributed top-k + rank: orderBy+limit compiles to
+    TakeOrderedAndProject (never a global window over the full table);
+    rank is then a row_number over the ≤k survivors, whose window key
+    is a column-DERIVED constant (``coalesce(substring(col,0,0),'')``)
+    because a literal partition key constant-folds away and Spark
+    re-warns about a partitionless window."""
+    order = [F.col("n_occurrences").desc(), F.col(key_col).asc()]
+    top = totals.orderBy(*order).limit(k)
+    w = Window.partitionBy(
+        F.coalesce(F.substring(F.col(key_col), 0, 0), F.lit(""))
+    ).orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", key_col, "n_occurrences", "n_docs"
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     """Corpus vocabulary: top-k words by total occurrences with doc
     frequencies — the frequency table a BPE/unigram vocab cut reads.
@@ -78,14 +95,7 @@ def vocab_topk(docs: DataFrame, k: int = 20) -> DataFrame:
         F.sum("tf").alias("n_occurrences"),
         F.count("*").alias("n_docs"),
     )
-    order = [F.col("n_occurrences").desc(), F.col("word").asc()]
-    top = totals.orderBy(*order).limit(k)
-    w = Window.partitionBy(
-        F.coalesce(F.substring(F.col("word"), 0, 0), F.lit(""))
-    ).orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "word", "n_occurrences", "n_docs"
-    )
+    return _ranked_topk(totals, "word", k)
 
 
 def inverted_index(docs: DataFrame, postings_cap: int = 16) -> DataFrame:
@@ -180,14 +190,9 @@ def ngram_counts(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     counts, then gram totals + doc frequencies, then a distributed
     TakeOrderedAndProject for the top-k (never a global sort).
     """
-    toks = _words()
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from webextract.operators.dedup import shingle_array
+
+    grams = shingle_array(_words(), n)
     grid = (
         docs.select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
@@ -197,11 +202,4 @@ def ngram_counts(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         F.sum("tf").alias("n_occurrences"),
         F.count("*").alias("n_docs"),
     )
-    order = [F.col("n_occurrences").desc(), F.col("gram").asc()]
-    top = totals.orderBy(*order).limit(k)
-    w = Window.partitionBy(
-        F.coalesce(F.substring(F.col("gram"), 0, 0), F.lit(""))
-    ).orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "gram", "n_occurrences", "n_docs"
-    )
+    return _ranked_topk(totals, "gram", k)

@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webextract.operators.dedup import LSH_BANDS, MINHASH_K, SHINGLE_N
+from webextract.operators.dedup import (
+    LSH_BANDS,
+    MINHASH_K,
+    SHINGLE_N,
+    shingle_array,
+)
 
 
 def row_minhash_bands(
@@ -48,14 +53,7 @@ def row_minhash_bands(
     restated)."""
     assert k % bands == 0
     r = k // bands
-    toks = F.split(F.col(text_col), " ")
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = shingle_array(F.split(F.col(text_col), " "), n)
     mh = [
         F.array_min(
             F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
