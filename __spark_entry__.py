@@ -698,27 +698,46 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     real-world line framing). The oracle states every verdict from the
     doc_id arithmetic — ground truth, not a parser mirror."""
     from webextract.operators.robots import parse_robots, robots_verdict
+
+    return robots_verdict(
+        pages_from_documents(spark, sf_dir),
+        parse_robots(_synth_robots(spark, sf_dir)),
+    )
+
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directives extracted from the same planted robots.txt
+    files (RFC 9309 §2.3 — global lines outside any stanza; the
+    planted one sits above the googlebot stanza and must survive the
+    stanza walk untouched, while robots_txt's rule verdicts must not
+    see it). Oracle states one url per host from the arithmetic."""
+    from webextract.operators.robots import sitemap_urls
+
+    return sitemap_urls(_synth_robots(spark, sf_dir))
+
+
+def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webextract.sources.pages import page_host
 
     docs = _docs(spark, sf_dir)
     hosts = docs.select(page_host(F.col("doc_id")).alias("h")).distinct()
     hmod = F.col("h") % 3
     body = F.concat(
-        F.lit("# crawl policy\nUser-agent: googlebot\nDisallow: /private\n\n"),
+        F.lit("# crawl policy\nSitemap: https://host"),
+        F.col("h").cast("string"),
+        F.lit(".example/sitemap.xml\nUser-agent: googlebot\nDisallow: /private\n\n"),
         F.when(hmod == 0, F.lit("User-agent: *\nDisallow: /doc/1\nAllow: /doc/12\n"))
         .when(hmod == 1, F.lit("User-agent: *\nDisallow: /doc/*7$\n"))
         .otherwise(
             F.lit("User-agent: bot\r\nUser-agent: *\r\nDisallow: /\r\n")
         ),
     )
-    robots = hosts.select(
+    return hosts.select(
         F.concat(F.lit("host"), F.col("h").cast("string"), F.lit(".example")).alias(
             "host"
         ),
         F.encode(body, "UTF-8").alias("body"),
     )
-    rules = parse_robots(robots)
-    return robots_verdict(pages_from_documents(spark, sf_dir), rules)
 
 
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "host_boiler": q_host_boiler,
         "robots_txt": q_robots_txt,
+        "sitemap_discovery": q_sitemap_discovery,
         "ngram_counts": q_ngram_counts,
         "host_skew": q_host_skew,
         "sitemap_frontier": q_sitemap_frontier,
@@ -1974,6 +1994,12 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                        AS share_permille,
                    CAST((n_pages + 99) // 100 AS BIGINT) AS salt_factor
             FROM c, t
+        """,
+        "sitemap_discovery": f"""
+            SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+                   'https://host' || CAST(h AS VARCHAR)
+                       || '.example/sitemap.xml' AS sitemap_url
+            FROM (SELECT DISTINCT {_HOST} AS h FROM documents)
         """,
         "sitemap_frontier": f"""
             WITH hosts AS (SELECT DISTINCT {_HOST} AS h FROM documents),

@@ -89,6 +89,7 @@ def main() -> None:
         "canonical_link",
         "robots_policy",
         "robots_txt",
+        "sitemap_discovery",
         "sitemap_frontier",
         "lm_buckets",
         "lang_rebalance",

@@ -144,3 +144,20 @@ def test_verdict_regex_metachars_are_literal(spark):
     out = {r["url"]: r for r in robots_verdict(pages, rules).collect()}
     assert out["https://h.ex/a.b(c)+x"]["blocked"]
     assert not out["https://h.ex/aXb(c)+x"]["blocked"]
+
+
+def test_sitemap_urls_global_case_preserving(spark):
+    from webextract.operators.robots import sitemap_urls
+
+    body = (
+        b"# policy\n"
+        b"Sitemap: https://h.example/SiteMap.xml\n"
+        b"User-agent: *\r\n"
+        b"Disallow: /private\r\n"
+        b"sitemap:\thttps://h.example/s2.xml  \n"
+        b"Sitemap:\n"  # empty value dropped
+    )
+    df = spark.createDataFrame([("h.example", body)], "host string, body binary")
+    got = sorted(r.sitemap_url for r in sitemap_urls(df).collect())
+    # case of the URL preserved, field name case-insensitive, CRLF ok
+    assert got == ["https://h.example/SiteMap.xml", "https://h.example/s2.xml"]

@@ -194,3 +194,28 @@ def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
             F.col("win.path").alias("rule_path"),
         )
     )
+
+
+def sitemap_urls(robots: DataFrame, body_col: str = "body") -> DataFrame:
+    """robots(host, body) → (host, sitemap_url): the ``Sitemap:``
+    directives — per RFC 9309 §2.3 they live OUTSIDE user-agent
+    stanzas and apply globally, so this is a line filter, not a
+    stanza walk. The output feeds sitemap.parse_sitemap /
+    parse_sitemap_index: robots.txt names the sitemaps, the sitemaps
+    name the urls, the frontier ranks them. Values keep their case
+    (urls are case-sensitive; only the field name is folded)."""
+    lines = robots.select(
+        "host",
+        F.explode(
+            F.split(F.decode(F.col(body_col), "UTF-8"), "\r\n|\r|\n")
+        ).alias("raw"),
+    ).select(
+        "host",
+        _ws_strip(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    )
+    val = _ws_strip(F.regexp_extract(F.col("line"), "^[^:]*:(.*)$", 1))
+    return (
+        lines.filter(F.lower(F.col("line")).startswith("sitemap:"))
+        .select("host", val.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+    )
