@@ -1190,6 +1190,61 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "clean_text", "n_lines", "n_kept")
 
 
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build disposition ledger (the FineWeb-style funnel):
+    every candidate page judged through the full chain — extract →
+    exact dedup (duplicates PLANTED: every 10th page re-crawled under
+    url/copy) → corpus line-dedup → quality gate → temperature
+    language sampling — with the FIRST failing stage recorded as the
+    drop reason (exact_dup / low_quality / lang_sampled_out / ok).
+    Every stage is the production operator; the oracle replays the
+    entire chain (extraction template, md5 keeper, line-dedup CTE,
+    HUGEINT rebalance thresholds) in SQL."""
+    from webextract.operators.sampling import lang_rebalance
+    from webextract.sources.pages import page_url
+
+    pages = pages_from_documents(spark, sf_dir)
+    did_of = F.regexp_extract("url", r"/doc/(\d+)", 1).cast("long")
+    copies = pages.filter(did_of % 10 == 0).withColumn(
+        "url", F.concat("url", F.lit("/copy"))
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    # extraction feeds the dup branch AND the survivor chain:
+    # checkpoint so the Arrow stage runs once
+    ext = (
+        extract_pages(salted_repartition(pages.unionByName(copies), nparts))
+        .select("url", "text")
+        .localCheckpoint(eager=False)
+    )
+    canon = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    fp = ext.select("url", "text", F.md5(canon).alias("f"))
+    keepers = fp.groupBy("f").agg(F.min("url").alias("keeper"))
+    marks = fp.join(keepers, "f").withColumn(
+        "is_dup", F.col("url") != F.col("keeper")
+    )
+    dups = marks.filter("is_dup").select(
+        "url", F.lit(False).alias("kept"), F.lit("exact_dup").alias("reason")
+    )
+    surv = marks.filter(~F.col("is_dup")).select(did_of.alias("doc_id"), "text")
+    clean = dedup.line_dedup(surv)
+    rebal = lang_rebalance(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("kept").alias("lang_kept")
+    )
+    ntok = F.size(F.split(F.col("clean_text"), " "))
+    judged = clean.join(rebal, "doc_id").select(
+        page_url(F.col("doc_id")).alias("url"),
+        F.when(ntok < 5, F.lit(False))
+        .when(~F.col("lang_kept"), F.lit(False))
+        .otherwise(F.lit(True))
+        .alias("kept"),
+        F.when(ntok < 5, F.lit("low_quality"))
+        .when(~F.col("lang_kept"), F.lit("lang_sampled_out"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
+    return dups.unionByName(judged)
+
+
 def q_union_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset mixing (§2.7): two sources unioned with deterministic
     hash-sampling ratios (the multi-label-file mix,
@@ -1304,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_sample": q_union_sample,
         "pipeline_dedup": q_pipeline_dedup,
         "pipeline_clean": q_pipeline_clean,
+        "pipeline_funnel": q_pipeline_funnel,
         "corpus_report": q_corpus_report,
         "extract_eval": q_extract_eval,
         "pricing_summary": q_pricing_summary,
@@ -1613,6 +1669,52 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": f"""
             WITH {_line_dedup_cte("documents")}
             SELECT doc_id, clean_text, n_lines, n_kept FROM k
+        """,
+        "pipeline_funnel": f"""
+            WITH e0 AS (SELECT doc_id, {_URL} AS url,
+                               {_EXTRACTED} AS text FROM documents),
+            cp AS (SELECT doc_id, url || '/copy' AS url, text
+                   FROM e0 WHERE doc_id % 10 = 0),
+            alltx AS (SELECT * FROM e0 UNION ALL SELECT * FROM cp),
+            fpt AS (SELECT url, doc_id, text,
+                           md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                               AS f
+                    FROM alltx),
+            kpr AS (SELECT f, MIN(url) AS keeper FROM fpt GROUP BY f),
+            marks AS (SELECT fpt.*, fpt.url <> kpr.keeper AS is_dup
+                      FROM fpt JOIN kpr USING (f)),
+            e AS (SELECT doc_id, text FROM marks WHERE NOT is_dup),
+            {_line_dedup_cte("e")},
+            c2 AS (SELECT lang, count(*) AS n_l FROM documents
+                   GROUP BY lang),
+            w2 AS (SELECT lang, n_l,
+                          CAST(floor(sqrt(n_l)) AS BIGINT) AS w_l FROM c2),
+            tot2 AS (SELECT SUM(n_l) AS n_total, SUM(w_l) AS w_total
+                     FROM w2),
+            thr2 AS (SELECT lang,
+                            (16777216::HUGEINT * (n_total // 2) * w_l)
+                              // (w_total::HUGEINT * n_l) AS t_l
+                     FROM w2, tot2),
+            rb AS (SELECT d.doc_id,
+                          CAST(('0x' || substr(md5('lrs:' ||
+                               CAST(d.doc_id AS VARCHAR)), 1, 6))
+                            AS INTEGER) < thr2.t_l AS lang_kept
+                   FROM documents d JOIN thr2 USING (lang)),
+            j AS (SELECT k.doc_id, k.clean_text, rb.lang_kept
+                  FROM k JOIN rb USING (doc_id))
+            SELECT url, FALSE AS kept, 'exact_dup' AS reason
+            FROM marks WHERE is_dup
+            UNION ALL
+            SELECT {_URL} AS url,
+                   CASE WHEN len(string_split(clean_text, ' ')) < 5
+                             THEN FALSE
+                        WHEN NOT lang_kept THEN FALSE
+                        ELSE TRUE END AS kept,
+                   CASE WHEN len(string_split(clean_text, ' ')) < 5
+                             THEN 'low_quality'
+                        WHEN NOT lang_kept THEN 'lang_sampled_out'
+                        ELSE 'ok' END AS reason
+            FROM j
         """,
         "pipeline_clean": f"""
             WITH e AS (SELECT doc_id, {_EXTRACTED} AS text FROM documents),

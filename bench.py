@@ -125,6 +125,7 @@ def main() -> None:
         "anchor_texts",
         "pagerank",
         "pipeline_clean",
+        "pipeline_funnel",
         "corpus_report",
         "pricing_summary",
         "orders_by_region",
