@@ -1677,7 +1677,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM e0 WHERE doc_id % 10 = 0),
             alltx AS (SELECT * FROM e0 UNION ALL SELECT * FROM cp),
             fpt AS (SELECT url, doc_id, text,
-                           md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                           md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
                                AS f
                     FROM alltx),
             kpr AS (SELECT f, MIN(url) AS keeper FROM fpt GROUP BY f),
