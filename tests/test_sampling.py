@@ -199,14 +199,12 @@ def test_host_skew_partial_aggregation(spark):
     # read the materialized host-count table, not the pages scan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # and the checkpointed count itself collapses map-side (skew-immune)
-    from webextract.operators.links import host_of
-    from pyspark.sql import functions as F
+    # and the PRODUCTION corpus pass collapses map-side (skew-immune):
+    # _host_counts is the exact subtree host_skew_report checkpoints
+    from webextract.operators.sampling import _host_counts
 
     counts_plan = (
-        pages_from_documents(spark, "/root/testdata/sf0.001")
-        .select(host_of(F.col("url")).alias("host"))
-        .groupBy("host").agg(F.count("*").alias("n_pages"))
+        _host_counts(pages_from_documents(spark, "/root/testdata/sf0.001"))
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in counts_plan

@@ -134,3 +134,18 @@ def test_frontier_judges_latest_capture(spark):
     rows = sitemap_frontier(entries, pages).collect()
     # ONE row, judged against the LATEST capture -> fresh
     assert len(rows) == 1 and rows[0].status == "fresh"
+
+
+def test_loc_numeric_character_references(spark):
+    body = """<urlset>
+      <url><loc>https://h.example/a&#47;b</loc></url>
+      <url><loc>https://h.example/x&#x2F;y&#61;1</loc></url>
+      <url><loc>https://h.example/dash&#8212;kept</loc></url>
+      <url><loc>https://h.example/amp&amp;#47;literal</loc></url>
+    </urlset>"""
+    locs = {r.loc for r in parse_sitemap(_sm(spark, body)).collect()}
+    assert "https://h.example/a/b" in locs            # decimal ref
+    assert "https://h.example/x/y=1" in locs          # hex refs
+    assert "https://h.example/dash&#8212;kept" in locs  # >255 left literal
+    # single-pass semantics: '&amp;#47;' is the LITERAL text '&#47;'
+    assert "https://h.example/amp&#47;literal" in locs

@@ -117,6 +117,11 @@ def heading_paths(outline: DataFrame, max_depth: int = 6) -> DataFrame:
     paid five shuffles, most rows riding them as dead weight after
     their walk had already reached a root).
     """
+    if not 1 <= max_depth <= 8:
+        # each hop NESTS the previous hop's expression (~2x growth per
+        # level), so the walk is only cheap for heading-like depths;
+        # html heading levels cap at 6
+        raise ValueError("max_depth must be in 1..8")
     packed = outline.groupBy("url").agg(
         F.collect_list(
             F.struct("pos", "level", "heading", "parent_pos")

@@ -51,16 +51,12 @@ def _ws_strip(col):
     return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
-def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
-    """robots(host, body:binary) → (host, verb, path): the Allow /
-    Disallow rules of every ``User-agent: *`` stanza.
-
-    Stanza tracking is gaps-and-islands: a user-agent line whose
-    PREVIOUS line is not a user-agent line starts a new stanza (so
-    stacked ``User-agent: a`` / ``User-agent: *`` share one stanza);
-    a stanza's rules apply iff any of its agent lines is ``*``.
-    """
-    lines = robots.select(
+def _robots_lines(robots: DataFrame, body_col: str) -> DataFrame:
+    """(host, ln, line): the shared robots.txt line pipeline — split on
+    any of LF/CRLF/CR, strip comments ('#' to end of line) and
+    surrounding whitespace. BOTH consumers (the stanza walk and the
+    global Sitemap: scan) read this, so framing fixes land once."""
+    return robots.select(
         "host",
         F.posexplode(
             F.split(F.decode(F.col(body_col), "UTF-8"), "\r\n|\r|\n")
@@ -70,6 +66,18 @@ def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
         "ln",
         _ws_strip(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
     )
+
+
+def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
+    """robots(host, body:binary) → (host, verb, path): the Allow /
+    Disallow rules of every ``User-agent: *`` stanza.
+
+    Stanza tracking is gaps-and-islands: a user-agent line whose
+    PREVIOUS line is not a user-agent line starts a new stanza (so
+    stacked ``User-agent: a`` / ``User-agent: *`` share one stanza);
+    a stanza's rules apply iff any of its agent lines is ``*``.
+    """
+    lines = _robots_lines(robots, body_col)
     low = F.lower(F.col("line"))
     is_ua = low.startswith("user-agent:")
     # value = everything after the FIRST colon (paths may contain ':')
@@ -204,15 +212,7 @@ def sitemap_urls(robots: DataFrame, body_col: str = "body") -> DataFrame:
     parse_sitemap_index: robots.txt names the sitemaps, the sitemaps
     name the urls, the frontier ranks them. Values keep their case
     (urls are case-sensitive; only the field name is folded)."""
-    lines = robots.select(
-        "host",
-        F.explode(
-            F.split(F.decode(F.col(body_col), "UTF-8"), "\r\n|\r|\n")
-        ).alias("raw"),
-    ).select(
-        "host",
-        _ws_strip(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
-    )
+    lines = _robots_lines(robots, body_col)
     val = _ws_strip(F.regexp_extract(F.col("line"), "^[^:]*:(.*)$", 1))
     return (
         lines.filter(F.lower(F.col("line")).startswith("sitemap:"))

@@ -251,6 +251,20 @@ def split_assign(
     return docs.withColumn("bucket", bucket).withColumn("split", expr)
 
 
+def _host_counts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """The corpus pass of :func:`host_skew_report`, exposed so its
+    plan shape (map-side partial count — the skew-immunity guarantee)
+    stays testable after the checkpoint truncates the report's own
+    lineage."""
+    from webextract.operators.links import host_of
+
+    return (
+        pages.select(host_of(F.col(url_col)).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
 def host_skew_report(
     pages: DataFrame,
     rows_per_task: int = 100_000,
@@ -275,14 +289,7 @@ def host_skew_report(
     once per branch (the lsh_pairs lesson; an audit of a 10^12-row
     corpus must not scan it twice to derive one scalar).
     """
-    from webextract.operators.links import host_of
-
-    counts = (
-        pages.select(host_of(F.col(url_col)).alias("host"))
-        .groupBy("host")
-        .agg(F.count("*").alias("n_pages"))
-        .localCheckpoint(eager=False)
-    )
+    counts = _host_counts(pages, url_col).localCheckpoint(eager=False)
     tot = counts.agg(F.sum("n_pages").alias("n_total"))
     return (
         counts.crossJoin(F.broadcast(tot))

@@ -63,10 +63,50 @@ def _lastmod_ts(col):
     return F.coalesce(*[F.try_to_timestamp(col, F.lit(p)) for p in pats])
 
 
+def _decode_numeric_refs(col):
+    """Decode numeric character references (``&#47;`` / ``&#x2F;``)
+    for codepoints ≤ 255 — the range that covers every ASCII url
+    delimiter real generators escape. Codepoints above 255 are left
+    literal (Spark's ``char`` wraps mod 256, which would corrupt
+    them). Runs in-row: split on '&#', decode each tail's leading
+    ``code;`` and re-join — no Python, no shuffle."""
+    parts = F.split(col, "&#")
+
+    def _piece(p):
+        cs = F.regexp_extract(p, r"^(x[0-9a-fA-F]{1,6}|[0-9]{1,7});", 1)
+        num = (
+            F.when(cs == "", F.lit(None))
+            .when(
+                cs.startswith("x"),
+                F.conv(F.substr(cs, F.lit(2), F.length(cs)), 16, 10),
+            )
+            .otherwise(cs)
+            .cast("long")
+        )
+        rest = F.substr(p, F.length(cs) + F.lit(2), F.length(p))
+        ok = num.isNotNull() & (num >= 1) & (num <= 255)
+        return F.when(ok, F.concat(F.char(num), rest)).otherwise(
+            F.concat(F.lit("&#"), p)
+        )
+
+    decoded = F.concat(
+        F.get(parts, 0),
+        F.array_join(
+            F.transform(F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), _piece),
+            "",
+        ),
+    )
+    return F.when(F.size(parts) > 1, decoded).otherwise(col)
+
+
 def _xml_unescape(col):
-    # sitemaps.org 0.9 REQUIRES loc values entity-escaped; undo the
-    # five predefined XML entities so advertised urls equi-join the
-    # crawled corpus ('&amp;' LAST so '&amp;lt;' round-trips to '&lt;')
+    # sitemaps.org 0.9 REQUIRES loc values entity-escaped; undo
+    # numeric character references FIRST (before '&amp;'→'&' can
+    # fabricate new '&#..;' sequences — proper single-pass semantics:
+    # '&amp;#47;' must yield the literal '&#47;', not '/'), then the
+    # five predefined entities ('&amp;' LAST so '&amp;lt;'
+    # round-trips to '&lt;').
+    col = _decode_numeric_refs(col)
     for ent, ch in (
         ("&lt;", "<"),
         ("&gt;", ">"),
