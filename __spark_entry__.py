@@ -749,6 +749,23 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawler's actual fetch decision: sitemap-advertised urls
+    that need (re)crawling (status new/stale from the frontier) gated
+    by the host's robots.txt verdict — composition of the two
+    crawl-policy families over the SAME planted fixtures. The oracle
+    states every (status, blocked) from the doc_id/host arithmetic of
+    both plants — ground truth squared, not a replay."""
+    from webextract.operators.robots import parse_robots, robots_verdict
+
+    fr = q_sitemap_frontier(spark, sf_dir).filter(F.col("status") != "fresh")
+    rules = parse_robots(_synth_robots(spark, sf_dir))
+    v = robots_verdict(fr.select("url"), rules)
+    return fr.join(v.select("url", "blocked"), "url").select(
+        "url", "status", "blocked", (~F.col("blocked")).alias("fetch")
+    )
+
+
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew audit over the planted host distribution (half the corpus
     on host0): per-host page counts, BIGINT-permille share, and the
@@ -1328,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "host_skew": q_host_skew,
         "sitemap_frontier": q_sitemap_frontier,
+        "crawl_frontier": q_crawl_frontier,
         "document_outline": q_document_outline,
         "heading_paths": q_heading_paths,
         "split_assign": q_split_assign,
@@ -2083,6 +2101,25 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                   FROM tot)
             SELECT rank, gram, n_occurrences, n_docs FROM r
             WHERE rank <= 20
+        """,
+        "crawl_frontier": f"""
+            WITH hosts AS (SELECT DISTINCT {_HOST} AS h FROM documents),
+            st AS (SELECT {_URL} AS url, ({_HOST}) % 3 AS hm,
+                          CAST(doc_id AS VARCHAR) AS ds
+                   FROM documents
+                   WHERE doc_id % 4 <> 3 AND doc_id % 5 = 0),
+            stale AS (SELECT url, 'stale' AS status,
+                             CASE WHEN hm = 2 THEN TRUE
+                                  WHEN hm = 1 THEN ds LIKE '%7'
+                                  ELSE ds LIKE '1%'
+                                       AND NOT ds LIKE '12%' END AS blocked
+                      FROM st),
+            nw AS (SELECT 'https://host' || CAST(h AS VARCHAR)
+                            || '.example/new/' || CAST(i AS VARCHAR) AS url,
+                          'new' AS status, h % 3 = 2 AS blocked
+                   FROM hosts, (VALUES (1), (2)) AS t(i)),
+            u AS (SELECT * FROM stale UNION ALL SELECT * FROM nw)
+            SELECT url, status, blocked, NOT blocked AS fetch FROM u
         """,
         "host_skew": f"""
             WITH c AS (

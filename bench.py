@@ -91,6 +91,7 @@ def main() -> None:
         "robots_txt",
         "sitemap_discovery",
         "sitemap_frontier",
+        "crawl_frontier",
         "lm_buckets",
         "lang_rebalance",
         "host_boiler",
