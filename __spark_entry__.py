@@ -766,6 +766,17 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training chunks (ctx=64 tokens, 8 shards — small
+    context so chunks genuinely span documents at fixture scale):
+    every chunk's text stitched across doc boundaries in stream order.
+    The oracle rebuilds the same chunks with a per-shard prefix sum,
+    1-indexed inclusive list slices and an ORDER BY string_agg."""
+    from webextract.operators.sampling import chunk_texts
+
+    return chunk_texts(_docs(spark, sf_dir), ctx=64, n_shards=8)
+
+
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew audit over the planted host distribution (half the corpus
     on host0): per-host page counts, BIGINT-permille share, and the
@@ -1333,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "host_quota": q_host_quota,
         "pack_chunks": q_pack_chunks,
+        "chunk_texts": q_chunk_texts,
         "crawl_diff": q_crawl_diff,
         "canonical_link": q_canonical_link,
         "robots_policy": q_robots_policy,
@@ -2120,6 +2132,36 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    FROM hosts, (VALUES (1), (2)) AS t(i)),
             u AS (SELECT * FROM stale UNION ALL SELECT * FROM nw)
             SELECT url, status, blocked, NOT blocked AS fetch FROM u
+        """,
+        "chunk_texts": """
+            WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                              string_split(text, ' ') AS t
+                       FROM documents),
+            s AS (SELECT *, len(t) AS n_tokens,
+                         CAST(SUM(len(t)) OVER (PARTITION BY shard
+                             ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS end_tok
+                  FROM d),
+            p AS (SELECT *, end_tok - n_tokens AS start_tok FROM s),
+            e AS (SELECT shard, start_tok, n_tokens, t,
+                         unnest(range(start_tok // 64,
+                                      (end_tok - 1) // 64 + 1)) AS chunk
+                  FROM p),
+            pieces AS (SELECT shard, chunk, start_tok,
+                              array_to_string(
+                                t[GREATEST(0, chunk * 64 - start_tok) + 1
+                                  : LEAST(n_tokens,
+                                          (chunk + 1) * 64 - start_tok)],
+                                ' ') AS piece,
+                              LEAST(n_tokens, (chunk + 1) * 64 - start_tok)
+                                - GREATEST(0, chunk * 64 - start_tok) AS np
+                       FROM e)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(chunk AS BIGINT) AS chunk,
+                   string_agg(piece, ' ' ORDER BY start_tok) AS chunk_text,
+                   COUNT(*) AS n_docs, CAST(SUM(np) AS BIGINT) AS n_tokens
+            FROM pieces GROUP BY shard, chunk
         """,
         "host_skew": f"""
             WITH c AS (

@@ -85,6 +85,7 @@ def main() -> None:
         "decontaminate",
         "host_quota",
         "pack_chunks",
+        "chunk_texts",
         "crawl_diff",
         "canonical_link",
         "robots_policy",

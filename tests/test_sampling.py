@@ -208,3 +208,43 @@ def test_host_skew_partial_aggregation(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in counts_plan
+
+
+def test_chunk_texts_stitches_across_docs(spark):
+    from webextract.operators.sampling import chunk_texts
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (2, "f g"), (4, "h i j k")],  # one shard (all even)
+        ["doc_id", "text"],
+    )
+    rows = {r.chunk: r for r in chunk_texts(docs, ctx=4, n_shards=2).collect()}
+    # stream: a b c d | e f g h | i j k
+    assert rows[0].chunk_text == "a b c d" and rows[0].n_docs == 1
+    assert rows[1].chunk_text == "e f g h" and rows[1].n_docs == 3
+    assert rows[2].chunk_text == "i j k" and rows[2].n_tokens == 3  # partial tail
+
+
+def test_chunk_texts_roundtrips_the_stream(spark):
+    from webextract.operators.sampling import chunk_texts
+    from pyspark.sql import functions as F
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.col("id") % 7), lambda i: i)
+        ).alias("text"),
+    )
+    rows = chunk_texts(docs, ctx=8, n_shards=4).collect()
+    # rebuilding each shard's stream from its chunks in order must equal
+    # the direct concatenation of its docs in doc_id order
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.chunk)):
+        got[r.shard] = (got.get(r.shard, "") + " " + r.chunk_text).strip()
+    want = {
+        s: " ".join(
+            r.text for r in docs.filter(F.col("doc_id") % 4 == s)
+            .orderBy("doc_id").collect()
+        )
+        for s in range(4)
+    }
+    assert got == want

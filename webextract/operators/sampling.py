@@ -302,3 +302,77 @@ def host_skew_report(
             ),
         )
     )
+
+
+def chunk_texts(
+    docs: DataFrame,
+    ctx: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the training chunks :func:`pack_chunks` lays out:
+    (shard, chunk, chunk_text, n_docs, n_tokens) — each chunk's text
+    stitched from every document overlapping its token window, in
+    stream order. The final chunk of a shard is partial
+    (``n_tokens < ctx``); trainers pad or drop it.
+
+    Same scale shape as the layout pass: the prefix sum windows PER
+    SHARD, each doc explodes into only the chunks it overlaps
+    (``first..last`` — bounded by doc length), and the chunk rebuild
+    is one groupBy on (shard, chunk) whose pieces are ordered by
+    ``start_tok`` in-row (array_sort of (start, piece) structs) —
+    deterministic without a sort exchange. One scan of the corpus,
+    two exchanges (shard window, chunk groupBy).
+    """
+    doc_id = F.col(id_col)
+    shard = F.pmod(doc_id, F.lit(n_shards))
+    toks = F.split(F.col(text_col), " ")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        docs.select(doc_id, shard.alias("shard"), toks.alias("t"))
+        .withColumn("n_tokens", F.size("t"))
+        .withColumn("end_tok", F.sum("n_tokens").over(w))
+        .withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
+    )
+    ex = staged.select(
+        "shard",
+        "start_tok",
+        "n_tokens",
+        "t",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_tok") / ctx),
+                F.floor((F.col("end_tok") - 1) / ctx),
+            )
+        ).alias("chunk"),
+    )
+    lo = F.greatest(F.lit(0), F.col("chunk") * ctx - F.col("start_tok"))
+    hi = F.least(F.col("n_tokens"), (F.col("chunk") + 1) * ctx - F.col("start_tok"))
+    pieces = ex.select(
+        "shard",
+        "chunk",
+        "start_tok",
+        F.concat_ws(" ", F.slice("t", (lo + 1).cast("int"), (hi - lo).cast("int"))).alias(
+            "piece"
+        ),
+        (hi - lo).alias("np"),
+    )
+    return (
+        pieces.groupBy("shard", "chunk")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("start_tok", "piece"))),
+                    lambda x: x["piece"],
+                ),
+            ).alias("chunk_text"),
+            F.count("*").alias("n_docs"),
+            F.sum("np").alias("n_tokens"),
+        )
+    )
