@@ -788,6 +788,21 @@ def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_skew_report(pages_from_documents(spark, sf_dir), rows_per_task=100)
 
 
+def q_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler over the planted host skew (half the corpus
+    on host0): every url gets its exact per-host fetch sequence and a
+    wave id (2 fetches per host per wave) via the 256-bucket md5
+    prefix-sum enumeration — the hot host's rank sort fans out 256
+    ways instead of landing on one task. The oracle is the naive
+    single window; equality proves the bucketed enumeration exact."""
+    from webextract.operators.links import host_of
+    from webextract.operators.sampling import fetch_waves
+
+    pages = pages_from_documents(spark, sf_dir)
+    inp = pages.select("url", host_of(F.col("url")).alias("host"))
+    return fetch_waves(inp, per_wave=2)
+
+
 def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl frontier from planted per-host sitemap.xml files: every
     host advertises its docs with doc_id%4!=3 (full ISO lastmod =
@@ -961,6 +976,16 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate (token-exact, not substring): count of
     blocklisted occurrences + keep verdict, zero shuffles."""
     return vocab.blocklist_filter(_docs(spark, sf_dir))
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the frozen benchmark
+    query set: top-10 docs per query by an integer-quantized score —
+    one DECIMAL(38,0) DIV per (doc, term), bit-lengths for the idf
+    log, so the full ranking hash-matches the oracle where float BM25
+    could not. Query-term isin pushed into the scan; per-query top-k
+    prunes via WindowGroupLimit."""
+    return vocab.bm25_search(_docs_spread(spark, sf_dir))
 
 
 def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_discovery": q_sitemap_discovery,
         "ngram_counts": q_ngram_counts,
         "host_skew": q_host_skew,
+        "fetch_waves": q_fetch_waves,
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_frontier": q_crawl_frontier,
         "document_outline": q_document_outline,
@@ -1365,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "tfidf_keywords": q_tfidf_keywords,
         "blocklist": q_blocklist,
+        "bm25": q_bm25,
         "page_meta": q_page_meta,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -2176,6 +2203,21 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST((n_pages + 99) // 100 AS BIGINT) AS salt_factor
             FROM c, t
         """,
+        # the naive one-window statement of the bucketed prefix-sum
+        # enumeration — equality proves the 256-way fan-out exact
+        "fetch_waves": f"""
+            WITH p AS (SELECT {_URL} AS url,
+                              'host' || CAST({_HOST} AS VARCHAR)
+                                  || '.example' AS host
+                       FROM documents),
+            r AS (SELECT url, host, row_number() OVER
+                         (PARTITION BY host
+                          ORDER BY md5(url) ASC, url ASC) AS seq
+                  FROM p)
+            SELECT url, host, CAST(seq AS BIGINT) AS seq,
+                   CAST((seq - 1) // 2 AS BIGINT) AS wave
+            FROM r
+        """,
         "sitemap_discovery": f"""
             SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
                    'https://host' || CAST(h AS VARCHAR)
@@ -2269,6 +2311,50 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                        ({", ".join(repr(s) for s in vocab.BLOCKLIST)}))) = 0
                        AS keep
             FROM t
+        """,
+        # query set / constants interpolated from vocab.BM25_* so the
+        # two sides cannot drift; arithmetic in HUGEINT mirrors the
+        # Spark DECIMAL(38,0) products exactly (both 38-digit exact)
+        "bm25": f"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                     '{vocab.WORD_REGEX}') AS words
+                          FROM documents),
+            base AS (SELECT doc_id, len(words) AS dl, unnest(words) AS word
+                     FROM toks),
+            qterms(query_id, word) AS (VALUES {", ".join(
+                f"({qid}, {w!r})"
+                for qid, ws in vocab.BM25_QUERIES for w in ws)}),
+            grid AS (SELECT doc_id, word, COUNT(*) AS tf, MIN(dl) AS dl
+                     FROM base
+                     WHERE word IN ({", ".join(repr(w) for w in sorted(
+                         {w for _, ws in vocab.BM25_QUERIES for w in ws}))})
+                     GROUP BY doc_id, word),
+            dfs AS (SELECT word, COUNT(*) AS df FROM grid GROUP BY word),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(len(regexp_extract_all(lower(text),
+                                 '{vocab.WORD_REGEX}'))) AS BIGINT)
+                                 AS total_dl
+                      FROM documents),
+            scored AS (SELECT q.query_id, g.doc_id,
+                CAST((CAST({vocab.BM25_SCALE} AS HUGEINT)
+                      * (length(bin(s.n_docs)) - length(bin(d.df)) + 1)
+                      * 22 * g.tf * s.total_dl)
+                // (CAST(10 AS HUGEINT) * g.tf * s.total_dl
+                    + CAST(3 AS HUGEINT) * s.total_dl
+                    + CAST(9 AS HUGEINT) * g.dl * s.n_docs)
+                    AS BIGINT) AS term_score
+              FROM grid g JOIN qterms q USING (word)
+                   JOIN dfs d USING (word) CROSS JOIN stats s),
+            agg AS (SELECT query_id, doc_id,
+                           CAST(SUM(term_score) AS BIGINT) AS score
+                    FROM scored GROUP BY query_id, doc_id),
+            r AS (SELECT *, row_number() OVER
+                         (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS rank
+                  FROM agg)
+            SELECT query_id, rank, doc_id, score
+            FROM r WHERE rank <= {vocab.BM25_TOPK}
         """,
         "page_meta": f"""
             SELECT {_URL} AS url,

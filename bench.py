@@ -100,10 +100,12 @@ def main() -> None:
         "heading_paths",
         "split_assign",
         "host_skew",
+        "fetch_waves",
         "vocab_topk",
         "ngram_counts",
         "inverted_index",
         "tfidf_keywords",
+        "bm25",
         "blocklist",
         "page_meta",
         "dedup_clusters",

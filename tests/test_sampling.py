@@ -248,3 +248,46 @@ def test_chunk_texts_roundtrips_the_stream(spark):
         for s in range(4)
     }
     assert got == want
+
+
+def test_fetch_waves_matches_single_window(spark):
+    """The 256-bucket prefix-sum enumeration must equal the naive
+    one-window per-host row_number exactly, including on the planted
+    hot host."""
+    from webextract.operators.sampling import fetch_waves
+
+    pages = _pages(spark)
+    got = fetch_waves(pages, per_wave=3).select(
+        "url", "host", "seq", "wave"
+    ).collect()
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col("url")).asc(), F.col("url").asc()
+    )
+    want = (
+        pages.withColumn("seq", F.row_number().over(w).cast("long"))
+        .withColumn("wave", F.expr("(seq - 1) DIV 3"))
+        .select("url", "host", "seq", "wave")
+        .collect()
+    )
+    assert sorted(got) == sorted(want)
+
+
+def test_fetch_waves_is_total_and_dense(spark):
+    """Every input row is scheduled exactly once and each host's seq
+    is the dense sequence 1..n_host with ≤ per_wave rows per wave."""
+    from webextract.operators.sampling import fetch_waves
+
+    pages = _pages(spark, n=200)
+    rows = fetch_waves(pages, per_wave=2).collect()
+    assert len(rows) == 200
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        seqs = sorted(r.seq for r in rs)
+        assert seqs == list(range(1, len(rs) + 1))
+        waves = {}
+        for r in rs:
+            waves[r.wave] = waves.get(r.wave, 0) + 1
+            assert r.wave == (r.seq - 1) // 2
+        assert all(v <= 2 for v in waves.values())

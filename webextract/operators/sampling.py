@@ -376,3 +376,74 @@ def chunk_texts(
             F.sum("np").alias("n_tokens"),
         )
     )
+
+
+# md5 is hex, so its first two chars split any host's urls into 256
+# buckets whose lexicographic order IS the fingerprint order — the
+# property that makes the bucketed enumeration below exact.
+WAVE_BUCKETS_HEX = 2
+
+
+def fetch_waves(
+    df: DataFrame,
+    per_wave: int = 2,
+    host_col: str = "host",
+    key_col: str = "url",
+) -> DataFrame:
+    """Politeness scheduler: assign EVERY url a per-host fetch sequence
+    number and a wave id (``per_wave`` fetches per host per wave) →
+    input columns + (seq, wave). The step after the crawl frontier
+    decides WHAT to fetch: this decides WHEN, so no host sees more
+    than ``per_wave`` concurrent requests. Reference analog: the
+    batched executor that feeds candidate crops to recognition
+    ``rec_batch_num`` at a time (tools/infer/predict_rec.py:395-420,
+    tools/infer/utility.py:95).
+
+    Unlike :func:`host_quota` (a top-``cap`` PRUNE, where phase 1 may
+    discard), this is a total ENUMERATION — every row needs its exact
+    rank in the host's ``(md5(url), url)`` order, so nothing may be
+    dropped. The scale problem is the same (the fixture plants half
+    the corpus on one host; at 10^12 urls a naive
+    ``row_number() OVER (PARTITION BY host)`` sorts ~10^11 rows in ONE
+    task); the fix here is a bucketed prefix-sum instead of a prune:
+
+     1. bucket = the first two hex chars of ``md5(url)`` — 256 buckets
+        whose lexicographic order equals fingerprint order, so the
+        concatenation "bucket 00's rows, then 01's, …" IS the host's
+        total order. The hot host's sort fans out 256 ways.
+     2. per-(host, bucket) counts → a running prefix-sum window per
+        host over ≤256 tiny rows gives each bucket its starting
+        offset. This side table is hosts×256 rows — negligible next
+        to the corpus — and joins back on the (host, bucket) key.
+     3. seq = bucket offset + local row_number; wave = (seq−1) DIV
+        ``per_wave``. Pure codegen from there.
+
+    The oracle states the semantics as the naive single window —
+    equality proves the bucketed enumeration exact.
+    """
+    fp = F.md5(F.col(key_col).cast("string"))
+    rows = df.withColumn("_fp", fp).withColumn(
+        "_b", F.substring(F.col("_fp"), 1, WAVE_BUCKETS_HEX)
+    )
+    counts = rows.groupBy(host_col, "_b").agg(F.count("*").alias("_n"))
+    run = (
+        Window.partitionBy(host_col)
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        host_col,
+        "_b",
+        F.coalesce(F.sum("_n").over(run), F.lit(0)).alias("_off"),
+    )
+    local = Window.partitionBy(host_col, "_b").orderBy(
+        F.col("_fp").asc(), F.col(key_col).asc()
+    )
+    seq = (F.col("_off") + F.col("_r")).cast("long")
+    return (
+        rows.withColumn("_r", F.row_number().over(local))
+        .join(offsets, [host_col, "_b"])
+        .withColumn("seq", seq)
+        .withColumn("wave", F.expr(f"(seq - 1) DIV {int(per_wave)}"))
+        .drop("_fp", "_b", "_n", "_r", "_off")
+    )

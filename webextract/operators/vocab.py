@@ -203,3 +203,122 @@ def ngram_counts(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         F.count("*").alias("n_docs"),
     )
     return _ranked_topk(totals, "gram", k)
+
+
+# -- BM25 ranked retrieval -------------------------------------------
+
+# Frozen benchmark query set: terms drawn from the synthetic corpus
+# vocabulary so every query has real postings at fixture scale.
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("hash", "join")),
+    (2, ("window", "sort", "merge")),
+    (3, ("stream", "vector", "group")),
+)
+# score quantization: term scores are integer micropoints — large
+# enough that the DIV floor never collapses distinct BM25 values that
+# differ by more than ~1e-6 of a point.
+BM25_SCALE = 1_000_000
+BM25_TOPK = 10
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 ranked retrieval over ``documents``: for each benchmark
+    query, the top-``k`` documents by an integer-quantized BM25 score
+    → (query_id, rank, doc_id, score). The retrieval stage the
+    vocabulary / inverted-index / tf-idf family has been building
+    toward — the corpus-inspection search a data curator runs ("show
+    me the documents this term set actually retrieves"). Reference
+    analog: the rec-score ranking that orders candidate boxes before
+    the keep-gate (tools/infer/utility.py:104).
+
+    Engine-portable scoring (the reason no float appears): with
+    k1 = 1.2 and b = 0.75, the classic per-term score
+
+        idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    is multiplied through by ``10·total_dl`` (avgdl = total_dl/n_docs
+    stays a ratio of exact integers, never a rounded double):
+
+        term_score = (SCALE · idf_bits · 22 · tf · total_dl)
+                 DIV (10·tf·total_dl + 3·total_dl + 9·dl·n_docs)
+
+    — one integral division of exact DECIMAL(38,0) products, identical
+    in Spark and the DuckDB oracle (HUGEINT). ``idf_bits`` is lm.py's
+    scale-free quantized log: ``len(bin(n_docs)) − len(bin(df)) + 1``
+    ≈ ⌈log2(N/df)⌉ ∈ [1, 64] at any corpus size. The magnitudes
+    bound the products: SCALE(1e6) · 64 · 22 · tf(≤1e4) · total_dl
+    (1e15 at 10^12 docs ·1k words) ≈ 1e28 < 10^38 — inside
+    DECIMAL(38,0)/HUGEINT exactly; the DIV result ≤ SCALE·2.2·64
+    fits comfortably in BIGINT, as does any query's term-score sum.
+
+    Scale shape (10^12 docs): the query-term filter is a literal
+    ``isin`` pushed into the scan — only postings of query terms ever
+    reach a shuffle. The (doc, word) grid partial-combines map-side
+    and is checkpointed once (it feeds the df branch AND the scoring
+    branch). df and corpus stats are query-vocabulary-sized /
+    one-row broadcasts. The final per-query top-k is the
+    rank-then-filter pattern Spark 4 rewrites into partial/final
+    WindowGroupLimit — map-side pruning, never a global sort.
+    """
+    spark = docs.sparkSession
+    qlist = [(qid, w) for qid, ws in queries for w in ws]
+    qterms = F.broadcast(
+        spark.createDataFrame(qlist, "query_id INT, word STRING")
+    )
+    qwords = sorted({w for _, w in qlist})
+
+    toks = docs.select("doc_id", _words().alias("words"))
+    grid = (
+        toks.select(
+            "doc_id",
+            F.size("words").alias("dl"),
+            F.explode("words").alias("word"),
+        )
+        .filter(F.col("word").isin(*qwords))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    df_tbl = F.broadcast(grid.groupBy("word").agg(F.count("*").alias("df")))
+    stats = F.broadcast(
+        docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(_words())).cast("long").alias("total_dl"),
+        )
+    )
+
+    dec = "DECIMAL(38,0)"
+    term_score = F.expr(
+        f"""(CAST({BM25_SCALE} AS {dec}) * CAST(idf_bits AS {dec})
+             * CAST(22 AS {dec}) * CAST(tf AS {dec})
+             * CAST(total_dl AS {dec}))
+            DIV
+            (CAST(10 AS {dec}) * CAST(tf AS {dec}) * CAST(total_dl AS {dec})
+             + CAST(3 AS {dec}) * CAST(total_dl AS {dec})
+             + CAST(9 AS {dec}) * CAST(dl AS {dec}) * CAST(n_docs AS {dec}))"""
+    ).cast("long")
+    scored = (
+        grid.join(qterms, "word")
+        .join(df_tbl, "word")
+        .crossJoin(stats)
+        .withColumn(
+            "idf_bits",
+            F.length(F.bin("n_docs")) - F.length(F.bin("df")) + F.lit(1),
+        )
+        .withColumn("term_score", term_score)
+    )
+    doc_scores = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
