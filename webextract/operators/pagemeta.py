@@ -110,18 +110,17 @@ def heading_paths(outline: DataFrame, max_depth: int = 6) -> DataFrame:
 
     Scale shape: ONE shuffle. The outline is per-page bounded, so the
     page's headings are packed into a single array (groupBy url +
-    collect_list) and the parent walk runs IN-ROW: each of the
-    ``max_depth - 1`` hops is an ``array filter + get`` lookup into
-    that array — pure column algebra, no Python, and no re-shuffling
-    of the outline relation per hop (the unrolled self-join version
-    paid five shuffles, most rows riding them as dead weight after
-    their walk had already reached a root).
+    collect_list) and the parent walk runs IN-ROW as a single
+    ``aggregate`` over a ``max_depth − 1``-element sequence carrying a
+    (path, cur) state struct — a RUNTIME loop, so the expression tree
+    stays constant-size however deep the walk. (Two earlier shapes
+    both failed at scale: the unrolled self-join paid five shuffles;
+    the unrolled COLUMN loop nested its own previous hop ~3× per
+    level — an exponentially growing expression that fell out of
+    codegen and made this the slowest query in the suite.)
     """
-    if not 1 <= max_depth <= 8:
-        # each hop NESTS the previous hop's expression (~2x growth per
-        # level), so the walk is only cheap for heading-like depths;
-        # html heading levels cap at 6
-        raise ValueError("max_depth must be in 1..8")
+    if not 1 <= max_depth <= 64:
+        raise ValueError("max_depth must be in 1..64")
     packed = outline.groupBy("url").agg(
         F.collect_list(
             F.struct("pos", "level", "heading", "parent_pos")
@@ -129,17 +128,31 @@ def heading_paths(outline: DataFrame, max_depth: int = 6) -> DataFrame:
     )
 
     def breadcrumb(hs, h):
-        path = h["heading"]
-        cur = h["parent_pos"]
-        for _ in range(max_depth - 1):
-            anc = F.get(F.filter(hs, lambda x: x["pos"] == cur), 0)
-            path = F.when(
-                anc.isNotNull(), F.concat(anc["heading"], F.lit(" > "), path)
-            ).otherwise(path)
-            cur = F.when(anc.isNotNull(), anc["parent_pos"]).otherwise(
-                F.lit(None).cast("int")
+        if max_depth == 1:
+            # sequence(1, 0) would DESCEND ([1, 0]) — guard the
+            # no-ancestor case instead of generating it
+            return h["heading"]
+
+        def hop(acc, _):
+            anc = F.get(F.filter(hs, lambda x: x["pos"] == acc["cur"]), 0)
+            return F.struct(
+                F.when(
+                    anc.isNotNull(),
+                    F.concat(anc["heading"], F.lit(" > "), acc["path"]),
+                )
+                .otherwise(acc["path"])
+                .alias("path"),
+                F.when(anc.isNotNull(), anc["parent_pos"])
+                .otherwise(F.lit(None).cast("int"))
+                .alias("cur"),
             )
-        return path
+
+        init = F.struct(
+            h["heading"].alias("path"), h["parent_pos"].alias("cur")
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(max_depth - 1)), init, hop
+        )["path"]
 
     walked = packed.select(
         "url",
