@@ -288,6 +288,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_keeper(docs, dedup.lsh_pairs(docs))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster retention: same LSH components as
+    dedup_clusters, but the keeper is the LONGEST member (ties →
+    smallest doc_id) — the "keep the best copy" policy, since
+    truncated mirrors are the common near-dup. Oracle: the recursive
+    reachability walk plus a per-cluster argmax window."""
+    docs = _docs_spread(spark, sf_dir)
+    return dedup.cluster_keep_best(
+        docs, dedup.lsh_pairs(docs), F.length("text")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEADLINE simhash signatures: the production 64-bit width (four
     16-bit band columns — the join key layout of the banded Hamming
@@ -1053,6 +1065,25 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(_docs_spread(spark, sf_dir))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-filter rule battery (frozen 2021
+    constants): per-rule booleans + keep verdict, every ratio compared
+    by integer cross-multiplication. Map-only codegen — no shuffle, no
+    UDF. The fixture splits on the word-count and stopword rules."""
+    return textstats.gopher_rules(_docs(spark, sf_dir))
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/Dolma-style domain blocklist with subdomain suffix
+    semantics over the synthesized urls: in-row suffix-chain build +
+    literal match, zero shuffles. The oracle states ground truth from
+    the _HOST arithmetic (hosts 3 and 7 are the planted blocked
+    domains), not a rule replay."""
+    from webextract.operators.urlnorm import domain_blocklist
+
+    return domain_blocklist(pages_from_documents(spark, sf_dir))
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub with planted ground truth: every doc gets a
     deterministic email + phone appended, and the oracle states the
@@ -1356,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_top": q_dedup_jaccard_top,
         "dedup_lines": q_dedup_lines,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_simhash": q_dedup_simhash,
         "simhash16_demo": q_simhash16_demo,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1365,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "emb_near_dup": q_emb_near_dup,
         "url_dedup": q_url_dedup,
+        "domain_blocklist": q_domain_blocklist,
         "latest_snapshot": q_latest_snapshot,
         "decontaminate": q_decontaminate,
         "host_quota": q_host_quota,
@@ -1399,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_stats": q_script_stats,
         "fingerprints": q_fingerprints,
         "repetition": q_repetition,
+        "gopher_rules": q_gopher_rules,
         "redact_pii": q_redact_pii,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1801,6 +1835,36 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
             FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
+        # same recursive reachability as dedup_clusters, keeper by
+        # per-cluster argmax(length(text)) instead of min doc_id
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_MINHASH.strip().removeprefix("WITH")},
+            bands AS ({_BANDS_UNION}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            walk(a, label) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a),
+            comp AS (SELECT a AS doc_id, MIN(label) AS cluster_id
+                     FROM walk GROUP BY a),
+            clustered AS (
+              SELECT d.doc_id,
+                     COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                     CAST(length(d.text) AS BIGINT) AS score
+              FROM documents d LEFT JOIN comp c USING (doc_id))
+            SELECT doc_id, cluster_id, score,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY score DESC, doc_id ASC) = 1
+                       AS is_keeper
+            FROM clustered
+        """,
         "dedup_simhash": f"""
 WITH {_simhash64_cte()}
 SELECT doc_id, band0, band1, band2, band3 FROM sig
@@ -1819,6 +1883,17 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                                             ORDER BY sim DESC, neighbor_id ASC) AS rank
                   FROM s)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+        """,
+        # ground truth from the _HOST plant: hosts 3 and 7 ARE the
+        # frozen BLOCKED_DOMAINS — not a suffix-rule replay
+        "domain_blocklist": f"""
+            SELECT {_URL} AS url,
+                   'host' || CAST({_HOST} AS VARCHAR) || '.example' AS host,
+                   CASE WHEN {_HOST} IN (3, 7)
+                        THEN 'host' || CAST({_HOST} AS VARCHAR)
+                             || '.example' END AS blocked_domain,
+                   {_HOST} NOT IN (3, 7) AS keep
+            FROM documents
         """,
         "url_dedup": f"""
             WITH b AS (SELECT doc_id, {_URL} AS base, {_HOST} AS h
@@ -2425,6 +2500,46 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                                / CAST(gs.n_bigrams AS DOUBLE)
                    END AS top_bigram_frac
             FROM ls LEFT JOIN gs USING (doc_id)
+        """,
+        # constants interpolated from textstats.GOPHER_* / STOPWORDS;
+        # every ratio compared by integer cross-multiplication
+        "gopher_rules": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n_words,
+                     length(text) - (len(string_split(text, ' ')) - 1)
+                         AS word_chars,
+                     len(regexp_extract_all(text, '[#…]')) AS n_sym,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_words,
+                     n_words >= {textstats.GOPHER_MIN_WORDS}
+                       AND n_words <= {textstats.GOPHER_MAX_WORDS} AS r_words,
+                     word_chars >= {textstats.GOPHER_MIN_MEAN_LEN} * n_words
+                       AND word_chars <= {textstats.GOPHER_MAX_MEAN_LEN}
+                             * n_words AS r_mean_len,
+                     10 * n_sym <= {textstats.GOPHER_MAX_SYMBOL_X10}
+                         * n_words AS r_symbols,
+                     10 * len(list_filter(lines,
+                              l -> regexp_matches(l, '^[-•]')))
+                       <= {textstats.GOPHER_MAX_BULLET_X10} * len(lines)
+                         AS r_bullets,
+                     10 * len(list_filter(toks,
+                              t -> regexp_matches(t, '[A-Za-z]')))
+                       >= {textstats.GOPHER_MIN_ALPHA_X10} * n_words
+                         AS r_alpha,
+                     len(list_distinct(list_filter(toks, t -> t IN
+                         ({", ".join(repr(s) for s in textstats.STOPWORDS)}))))
+                       >= {textstats.GOPHER_MIN_STOPWORDS} AS r_stopwords
+              FROM b)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   r_words, r_mean_len, r_symbols, r_bullets, r_alpha,
+                   r_stopwords,
+                   r_words AND r_mean_len AND r_symbols AND r_bullets
+                     AND r_alpha AND r_stopwords AS keep
+            FROM c
         """,
         # ground truth, not a regex re-statement: the planted email and
         # phone are the ONLY matches, so the expected redaction is pure

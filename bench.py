@@ -81,6 +81,7 @@ def main() -> None:
         "dedup_lines",
         "span_dedup",
         "url_dedup",
+        "domain_blocklist",
         "latest_snapshot",
         "decontaminate",
         "host_quota",
@@ -109,6 +110,7 @@ def main() -> None:
         "blocklist",
         "page_meta",
         "dedup_clusters",
+        "dedup_keep_best",
         "dedup_simhash",
         "dedup_simhash_pairs",
         "sim_topk",
@@ -119,6 +121,7 @@ def main() -> None:
         "script_stats",
         "fingerprints",
         "repetition",
+        "gopher_rules",
         "redact_pii",
         "events_hourly",
         "events_sessions",

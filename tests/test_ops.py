@@ -791,3 +791,83 @@ def test_hourly_rollup_approx_users_close_to_exact(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from pyspark.sql import Row
+
+    ok = ("the and of this is a fine document with plenty of words "
+          "here to pass the minimum fifty word requirement easily "
+          "because it keeps adding normal english prose words until "
+          "the counter goes well past the bar set by the paper rules "
+          "and then some more filler words arrive at the very end")
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=ok),                          # passes all
+            Row(doc_id=1, text="the and short"),             # words rule
+            Row(doc_id=2, text=ok + " " + "x " * 60),        # mean len low
+            Row(doc_id=3, text=ok + " " + "# " * 20),        # symbols
+            Row(doc_id=4, text=ok + "\n" + "\n".join(["- b"] * 60)),  # bullets
+            Row(doc_id=5, text=ok + " " + "42 " * 60),       # alpha frac
+            Row(doc_id=6, text="zz " * 60),                  # stopwords
+        ]
+    )
+    from webextract.operators.textstats import gopher_rules
+
+    r = {row.doc_id: row for row in gopher_rules(docs).collect()}
+    assert r[0].keep
+    assert not r[1].r_words and not r[1].keep
+    assert not r[2].r_mean_len and not r[2].keep
+    assert not r[3].r_symbols and not r[3].keep
+    assert not r[4].r_bullets and not r[4].keep
+    assert not r[5].r_alpha and not r[5].keep
+    assert not r[6].r_stopwords and not r[6].keep
+
+
+def test_cluster_keep_best_picks_longest(spark):
+    from pyspark.sql import Row
+    from webextract.operators.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="short"),
+            Row(doc_id=1, text="the longest near duplicate copy"),
+            Row(doc_id=2, text="mid length"),
+            Row(doc_id=3, text="isolated singleton"),
+            Row(doc_id=4, text="tied"),
+            Row(doc_id=5, text="tied"),
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [Row(doc_a=0, doc_b=1), Row(doc_a=1, doc_b=2), Row(doc_a=4, doc_b=5)]
+    )
+    rows = {r.doc_id: r for r in
+            cluster_keep_best(docs, pairs, F.length("text")).collect()}
+    # cluster {0,1,2}: longest (doc 1) is the keeper, not min doc_id
+    assert rows[1].is_keeper and not rows[0].is_keeper and not rows[2].is_keeper
+    assert rows[0].cluster_id == rows[1].cluster_id == rows[2].cluster_id == 0
+    # singleton keeps itself
+    assert rows[3].is_keeper and rows[3].cluster_id == 3
+    # equal scores: smallest doc_id wins
+    assert rows[4].is_keeper and not rows[5].is_keeper
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    from pyspark.sql import Row
+    from webextract.operators.urlnorm import domain_blocklist
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://bad.example/x"),
+            Row(url="https://deep.sub.bad.example/y"),   # subdomain blocked
+            Row(url="https://notbad.example/z"),         # suffix is token-exact
+            Row(url="https://clean.org/w"),
+        ]
+    )
+    out = {r.url: r for r in
+           domain_blocklist(pages, blocked=("bad.example",)).collect()}
+    assert not out["https://bad.example/x"].keep
+    assert out["https://bad.example/x"].blocked_domain == "bad.example"
+    assert not out["https://deep.sub.bad.example/y"].keep
+    assert out["https://notbad.example/z"].keep
+    assert out["https://clean.org/w"].keep

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # frozen dedup knobs (analog of the reference's det thresholds,
@@ -773,4 +773,43 @@ def span_dedup(
         F.concat_ws(
             " ", F.filter(toks, lambda x, i: ~covered(i))
         ).alias("clean_text"),
+    )
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Quality-aware cluster retention: like :func:`cluster_keeper`,
+    but the keeper is the cluster member with the HIGHEST ``score``
+    (ties → smallest doc_id) instead of blindly the smallest doc_id —
+    the "keep the best copy" policy real pipelines run (e.g. keep the
+    longest near-duplicate, since truncated mirrors are the common
+    case). ``score`` is any integer column expression over ``docs``
+    (the driver query uses ``length(text)``; exact ints keep the
+    verdict hash-portable).
+
+    → (doc_id, cluster_id, score, is_keeper). Scale shape: the
+    component label table stays pair-touched-docs-only (broadcast-
+    eligible); the argmax is a row_number window per cluster —
+    WindowGroupLimit prunes map-side, and cluster sizes are bounded by
+    the near-dup radius, not the corpus.
+    """
+    comp = connected_components(pairs, max_iter)
+    lbl = comp.select("doc_id", F.col("cluster_id").alias("pair_cluster"))
+    scored = docs.select("doc_id", score.cast("long").alias("score")).join(
+        lbl, "doc_id", "left"
+    )
+    clustered = scored.select(
+        "doc_id",
+        F.coalesce("pair_cluster", "doc_id").alias("cluster_id"),
+        "score",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return clustered.withColumn(
+        "is_keeper", F.row_number().over(w) == 1
     )

@@ -280,3 +280,84 @@ def script_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr("CASE WHEN n_scripted > 0 THEN _b div n_scripted"
                " ELSE 0 END").alias("script_permille"),
     )
+
+
+# -- Gopher document-level rule filter --------------------------------
+
+# Frozen Gopher rule constants (Rae et al. 2021, "Scaling Language
+# Models" §A1.1 — the document-filter recipe most LLM pipelines reuse).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3  # mean word length bounds (chars)
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MAX_SYMBOL_X10 = 1  # symbol-to-word ratio ≤ 0.1 → 10·sym ≤ 1·words
+GOPHER_MAX_BULLET_X10 = 9  # ≤ 90% of lines may start with a bullet
+GOPHER_MIN_ALPHA_X10 = 8   # ≥ 80% of words must contain a letter
+GOPHER_MIN_STOPWORDS = 2   # ≥ 2 distinct stopword hits
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style document filter: the frozen rule battery over
+    whitespace words → one boolean per rule + the final keep verdict.
+    The composite gate most post-2021 pipelines (Gopher, RefinedWeb,
+    Dolma, FineWeb) run between extraction and dedup; reference
+    analog: the multi-predicate box sanitize that drops degenerate
+    detections (tools/infer/predict_det.py:191-205).
+
+    Every rule compares exact integers (ratios by cross-multiplication
+    — never a float), so the verdict table is hash-exact vs the
+    oracle. One codegen-only pass: no shuffle, no UDF; at 10^12 docs
+    this is a map-only scan that AQE fuses with whatever runs next.
+
+    Rules (constants above; all counts from the text itself):
+     - words:     GOPHER_MIN_WORDS ≤ n_words ≤ GOPHER_MAX_WORDS
+     - mean_len:  3 ≤ (n_chars − (n_words − 1)) / n_words ≤ 10
+     - symbols:   '#' + '…' occurrences ≤ 0.1 · n_words
+     - bullets:   lines starting with '-'/'•' ≤ 0.9 · n_lines
+     - alpha:     words containing a letter ≥ 0.8 · n_words
+     - stopwords: ≥ 2 distinct STOPWORDS present
+    """
+    toks = _toks()
+    n_words = F.size(toks)
+    word_chars = F.length("text") - (n_words - F.lit(1))
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[#…]"), 0)
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^[-•]"))
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    )
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    )
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean_len = (
+        word_chars >= F.lit(GOPHER_MIN_MEAN_LEN) * n_words
+    ) & (word_chars <= F.lit(GOPHER_MAX_MEAN_LEN) * n_words)
+    r_symbols = F.lit(10) * n_sym <= F.lit(GOPHER_MAX_SYMBOL_X10) * n_words
+    r_bullets = F.lit(10) * n_bullet <= F.lit(GOPHER_MAX_BULLET_X10) * n_lines
+    r_alpha = F.lit(10) * n_alpha_words >= F.lit(GOPHER_MIN_ALPHA_X10) * n_words
+    r_stopwords = n_stop_distinct >= GOPHER_MIN_STOPWORDS
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_words.alias("r_words"),
+        r_mean_len.alias("r_mean_len"),
+        r_symbols.alias("r_symbols"),
+        r_bullets.alias("r_bullets"),
+        r_alpha.alias("r_alpha"),
+        r_stopwords.alias("r_stopwords"),
+    )
+    keep = (
+        F.col("r_words")
+        & F.col("r_mean_len")
+        & F.col("r_symbols")
+        & F.col("r_bullets")
+        & F.col("r_alpha")
+        & F.col("r_stopwords")
+    )
+    return out.withColumn("keep", keep)

@@ -233,3 +233,52 @@ def crawl_diff(
     return n.join(o, "url", "full_outer").select(
         "url", status.alias("status"), "fp_new", "fp_old"
     )
+
+
+# Frozen domain blocklist (the UT1/Dolma-style domain gate analog).
+# Tiny on purpose: broadcast as literals into the plan, not a join —
+# a production list of ~10^6 entries would swap the literal array for
+# a broadcast-joined table keyed on the same suffix explode.
+BLOCKED_DOMAINS: tuple[str, ...] = ("host3.example", "host7.example")
+
+
+def domain_blocklist(
+    pages: DataFrame,
+    blocked: tuple[str, ...] = BLOCKED_DOMAINS,
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain blocklist gate with subdomain semantics: a url is blocked
+    when ANY dot-suffix of its host ('a.b.example.com' →
+    'a.b.example.com', 'b.example.com', 'example.com', 'com') is on
+    the list — how UT1-category and Dolma domain blocklists actually
+    match, where C4's token blocklist matches words
+    (:func:`webextract.operators.vocab.blocklist_filter` is the token
+    side of the same gate).
+
+    → (url, host, blocked_domain, keep): ``blocked_domain`` is the
+    LONGEST (most specific) matching suffix, NULL when clean. The
+    suffix chain is built in-row (``transform`` over ``sequence`` +
+    ``slice`` + ``array_join``) and matched against the literal list —
+    pure codegen, zero shuffles, no UDF; prune-before-extract order at
+    10^12 docs (this gate runs on the url column alone, so it goes
+    BEFORE any html ever crosses to Python).
+    """
+    from webextract.operators.links import host_of
+
+    host = host_of(F.col(url_col))
+    parts = F.split(host, r"\.")
+
+    def suffix(i: Column) -> Column:
+        return F.array_join(F.slice(parts, i, F.size(parts) - i + 1), ".")
+
+    suffixes = F.transform(F.sequence(F.lit(1), F.size(parts)), suffix)
+    hits = F.filter(suffixes, lambda s: s.isin(*blocked))
+    # suffixes run longest → shortest, so the first hit is the most
+    # specific listed domain
+    blocked_domain = F.get(hits, 0)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        blocked_domain.alias("blocked_domain"),
+        blocked_domain.isNull().alias("keep"),
+    )
