@@ -956,6 +956,47 @@ def q_document_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_outline(pages)
 
 
+def q_kie_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-information extraction (the PP-Structure SER/RE analog):
+    definition-list key→value pairs over three planted shapes — a
+    multi-value key, an orphan dd + trailing unpaired dt (both must
+    emit nothing), and two lists split by prose. The oracle states
+    every (pair_id, key, value) from the doc_id arithmetic — ground
+    truth, not a parser mirror."""
+    from webextract.operators.kie import kie_pairs
+    from webextract.sources.pages import page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    ids = doc_id.cast("string")
+    shape0 = F.concat(
+        F.lit("<html><body><p>intro</p><dl><dt>Name</dt><dd>Widget "),
+        ids,
+        F.lit("</dd><dt>Price</dt><dd>42</dd><dd>43</dd></dl></body></html>"),
+    )
+    shape1 = F.lit(
+        "<html><body><p>lead</p><dl><dd>orphan</dd><dt>Sku</dt></dl>"
+        "<p>tail</p></body></html>"
+    )
+    shape2 = F.concat(
+        F.lit("<html><body><dl><dt>Item "),
+        ids,
+        F.lit(
+            "</dt><dd>first</dd></dl><p>mid</p>"
+            "<dl><dt>Color</dt><dd>blue</dd></dl></body></html>"
+        ),
+    )
+    html = (
+        F.when(doc_id % 3 == 0, shape0)
+        .when(doc_id % 3 == 1, shape1)
+        .otherwise(shape2)
+    )
+    pages = docs.select(
+        page_url(doc_id).alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return kie_pairs(pages)
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5 bucket (98/1/1):
     a pure function of the row, so assignments survive recrawls,
@@ -1420,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_outline": q_document_outline,
         "heading_paths": q_heading_paths,
         "split_assign": q_split_assign,
+        "kie_pairs": q_kie_pairs,
         "vocab_topk": q_vocab_topk,
         "inverted_index": q_inverted_index,
         "tfidf_keywords": q_tfidf_keywords,
@@ -2321,6 +2363,27 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         "document_outline": _document_outline_sql(),
         "heading_paths": _heading_paths_sql(),
         "split_assign": _split_assign_sql(),
+        # ground truth from the three planted shapes: shape 1 (orphan
+        # dd + trailing dt) must contribute NO rows at all
+        "kie_pairs": f"""
+            SELECT {_URL} AS url, CAST(1 AS INTEGER) AS pair_id,
+                   'Name' AS key,
+                   'Widget ' || CAST(doc_id AS VARCHAR) AS value
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT {_URL}, CAST(2 AS INTEGER), 'Price', '42'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT {_URL}, CAST(3 AS INTEGER), 'Price', '43'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT {_URL}, CAST(1 AS INTEGER),
+                   'Item ' || CAST(doc_id AS VARCHAR), 'first'
+            FROM documents WHERE doc_id % 3 = 2
+            UNION ALL
+            SELECT {_URL}, CAST(2 AS INTEGER), 'Color', 'blue'
+            FROM documents WHERE doc_id % 3 = 2
+        """,
         "vocab_topk": f"""
             WITH g AS (SELECT doc_id,
                               unnest(regexp_extract_all(lower(text),

@@ -109,6 +109,7 @@ def main() -> None:
         "bm25",
         "blocklist",
         "page_meta",
+        "kie_pairs",
         "dedup_clusters",
         "dedup_keep_best",
         "dedup_simhash",

@@ -1,0 +1,114 @@
+"""Key-information extraction: definition-list key→value pairing.
+
+The PP-Structure KIE analog. The reference's KIE module labels text
+regions as QUESTION/ANSWER (SER — semantic entity recognition) and
+links each answer to its question in reading order (RE — relation
+extraction): ppstructure/kie/predict_kie_token_ser.py and
+predict_kie_token_ser_re.py drive a VI-LayoutXLM model over OCR boxes.
+The deterministic web-text graft is the DOM structure that already
+encodes the same thing: in a ``<dl>`` definition list, ``<dt>`` IS the
+question/key and the ``<dd>``(s) that follow in reading order ARE its
+answers/values. SER ⇒ the dt/dd tag itself; RE ⇒ linear reading-order
+pairing — the same pairing rule the reference applies to its sorted
+text lines.
+
+Pairing semantics (frozen; linear DOM order, like the reference's
+reading-order RE):
+ - a non-empty ``dt`` block becomes the CURRENT key;
+ - every non-empty ``dd`` block pairs with the current key (so a key
+   with several ``dd`` values emits one row per value);
+ - a ``dd`` before any ``dt`` has no key and is dropped;
+ - a ``dt`` never followed by a ``dd`` emits nothing;
+ - ``pair_id`` is the per-page 1-based emission sequence.
+
+Scale shape: ONE ``mapInArrow`` crossing (the same decode → tokenize
+front-end as extraction, so block order agrees exactly with the
+extraction spans); the walk is O(blocks) per page inside the batch —
+no shuffle at all, the output is url-partitioned exactly like its
+input. Everything downstream (grouping, joins against extraction)
+stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from webextract.config import DEFAULT_CONFIG, ExtractConfig
+from webextract.functions.htmlnorm import decode_html
+from webextract.functions.tokenizer import tokenize_blocks
+
+KIE_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("pair_id", T.IntegerType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+    ]
+)
+
+
+def pair_blocks(tags: list[str], texts: list[str]) -> list[tuple[str, str]]:
+    """The frozen pairing walk over one page's (tag, text) block
+    stream — exposed for property tests."""
+    out: list[tuple[str, str]] = []
+    key: str | None = None
+    for tag, text in zip(tags, texts):
+        if not text:
+            continue
+        if tag == "dt":
+            key = text
+        elif tag == "dd" and key is not None:
+            out.append((key, text))
+    return out
+
+
+def kie_pairs(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """pages(url, html, ...) → (url, pair_id, key, value): every
+    definition-list key with each of its reading-order values."""
+    src = pages.select("url", "html")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            urls: list[str] = []
+            pair_ids: list[int] = []
+            keys: list[str] = []
+            values: list[str] = []
+            for url, raw in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist()
+            ):
+                if raw is None:
+                    raw = b""
+                if len(raw) > cfg.max_html_bytes:
+                    raw = raw[: cfg.max_html_bytes]
+                blocks = tokenize_blocks(decode_html(raw))
+                for i, (k, v) in enumerate(
+                    pair_blocks(blocks["tag"], blocks["text"]), start=1
+                ):
+                    urls.append(url)
+                    pair_ids.append(i)
+                    keys.append(k)
+                    values.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(pair_ids, type=pa.int32()),
+                    pa.array(keys, type=pa.string()),
+                    pa.array(values, type=pa.string()),
+                ],
+                schema=pa.schema(
+                    [
+                        ("url", pa.string()),
+                        ("pair_id", pa.int32()),
+                        ("key", pa.string()),
+                        ("value", pa.string()),
+                    ]
+                ),
+            )
+
+    return src.mapInArrow(run, KIE_PAIRS_SCHEMA)
