@@ -385,6 +385,22 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_a", "vec_b")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (k-means partition → within-cluster cosine dups → one
+    exemplar per group): the embedding-space dedup that catches
+    paraphrases n-gram sketches cannot. Same planted-dup construction
+    as emb_near_dup (scaled copies of vec_id<50 under offset ids).
+    Rows-only by design: k-means on floats is not SQL-statable;
+    planted recall + brute-parity pinned in test_ops.py."""
+    emb = _emb(spark, sf_dir)
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return similarity.semdedup(corpus, EMB_DIM, n_lists=16, threshold=0.95)
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-url dedup: every doc fans out 5 messy spellings
     (fragment, utm param, uppercased host + default port, trailing
@@ -1439,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "url_dedup": q_url_dedup,
         "domain_blocklist": q_domain_blocklist,
+        "semdedup": q_semdedup,
         "latest_snapshot": q_latest_snapshot,
         "decontaminate": q_decontaminate,
         "host_quota": q_host_quota,

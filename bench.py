@@ -116,6 +116,7 @@ def main() -> None:
         "dedup_simhash_pairs",
         "sim_topk",
         "emb_near_dup",
+        "semdedup",
         "token_stats",
         "quality",
         "langid",

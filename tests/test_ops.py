@@ -871,3 +871,45 @@ def test_domain_blocklist_suffix_semantics(spark):
     assert not out["https://deep.sub.bad.example/y"].keep
     assert out["https://notbad.example/z"].keep
     assert out["https://clean.org/w"].keep
+
+
+def test_semdedup_planted_recall_and_brute_parity(spark):
+    """Every planted near-dup is dropped (keeper = the original), no
+    clean vector is dropped, and every within-cluster pair semdedup
+    acts on is a TRUE cosine near-dup (brute-force parity: the k-means
+    partition may only LOSE cross-cluster pairs, never invent one)."""
+    import math
+
+    from pyspark.sql import Row
+    from webextract.operators.similarity import semdedup
+
+    rng = __import__("random").Random(7)
+    dim = 8
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(base)]
+    # plant dups of the first 10 (scaled copies → cosine 1.0)
+    rows += [
+        Row(vec_id=1000 + i, embedding=[x * 1.01 for x in base[i]])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in
+           semdedup(emb, dim, n_lists=4, threshold=0.95).collect()}
+    assert len(out) == 50
+    dropped = {v for v, r in out.items() if not r.is_keeper}
+    # scaled copy and its base share the group; the smaller id (base) wins
+    assert dropped == {1000 + i for i in range(10)}
+    for i in range(10):
+        assert out[1000 + i].group_id == out[i].group_id == i
+    # brute-force parity: dropped ⊆ true near-dups of something
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    vecs = {r.vec_id: r.embedding for r in rows}
+    for v in dropped:
+        assert any(
+            cos(vecs[v], vecs[u]) >= 0.95 for u in vecs if u != v
+        )

@@ -466,3 +466,76 @@ def embedding_near_dup_pairs(
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    train_cap: int = 100_000,
+    sample_frac: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means partitioning — cluster the embedding
+    space with a sample-trained coarse quantizer, find cosine
+    near-duplicates WITHIN each cluster only, and keep one exemplar
+    per duplicate group → (vec_id, list_id, group_id, is_keeper).
+    Users delete ``is_keeper = false`` rows. The embedding-space
+    sibling of the MinHash pipeline: the cluster plays the LSH
+    bucket's role, catching paraphrase-level duplicates n-gram
+    sketches cannot see.
+
+    Scale shape: the k-means fit touches ≤ ``train_cap`` sampled rows
+    (never a corpus count — see :func:`ivf_assign`); assignment is one
+    streaming pass. Within-cluster pair work is quadratic in cluster
+    size, so ``n_lists`` is THE scale knob — grow it ~n/1e4 (the paper
+    runs 50k clusters on LAION) and, as with IVF, write the corpus
+    bucketed by ``list_id`` so each cluster's self-join reads only its
+    own files and no exchange precedes the join. Duplicate groups are
+    closed transitively with the same pointer-jumping
+    connected-components used for MinHash clusters (a dup chain may
+    span pairs), keeper = smallest vec_id.
+
+    Rows-only vs the oracle by design (k-means on floats is not
+    SQL-statable); correctness is pinned by planted-duplicate recall
+    and brute-force-parity tests in test_ops.py.
+    """
+    from webextract.operators.dedup import connected_components
+
+    assigned, _ = ivf_assign(
+        emb, dim, n_lists=n_lists, train_cap=train_cap,
+        sample_frac=sample_frac,
+    )
+    sk = with_norm(assigned).localCheckpoint(eager=False)
+    a, b = sk.alias("a"), sk.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+        )
+    )
+    comp = connected_components(pairs)
+    lbl = comp.select("doc_id", F.col("cluster_id").alias("grp"))
+    return (
+        sk.select("vec_id", "list_id")
+        .join(lbl, sk["vec_id"] == lbl["doc_id"], "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce("grp", F.col("vec_id")).alias("group_id"),
+            (F.coalesce("grp", F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_keeper"
+            ),
+        )
+    )
