@@ -913,3 +913,26 @@ def test_semdedup_planted_recall_and_brute_parity(spark):
         assert any(
             cos(vecs[v], vecs[u]) >= 0.95 for u in vecs if u != v
         )
+
+
+def test_domain_blocklist_canonicalizes_authority(spark):
+    from pyspark.sql import Row
+    from webextract.operators.urlnorm import domain_blocklist
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://BAD.example/x"),
+            Row(url="https://bad.example:443/y"),
+            Row(url="https://user@bad.example/z"),
+            Row(url="https://bad.example./w"),
+            Row(url="https://fine.example/v"),
+        ]
+    )
+    out = {r.url: r for r in
+           domain_blocklist(pages, blocked=("bad.example",)).collect()}
+    # case, default port, userinfo, and trailing dot cannot sidestep
+    for u in list(out)[:4]:
+        if "fine" not in u:
+            assert not out[u].keep, u
+            assert out[u].host == "bad.example"
+    assert out["https://fine.example/v"].keep

@@ -291,3 +291,27 @@ def test_fetch_waves_is_total_and_dense(spark):
             waves[r.wave] = waves.get(r.wave, 0) + 1
             assert r.wave == (r.seq - 1) // 2
         assert all(v <= 2 for v in waves.values())
+
+
+def test_fetch_waves_total_with_null_keys(spark):
+    """NULL url/host rows must still be enumerated (the join back to
+    the offsets table is null-safe) — a dropped row would break the
+    total-enumeration contract."""
+    from pyspark.sql import Row
+    from webextract.operators.sampling import fetch_waves
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://h/1", host=0),
+            Row(url="https://h/2", host=0),
+            Row(url=None, host=0),
+            Row(url="https://h/3", host=None),
+        ],
+        "url string, host int",
+    )
+    rows = fetch_waves(pages, per_wave=2).collect()
+    assert len(rows) == 4
+    h0 = sorted(r.seq for r in rows if r.host == 0)
+    assert h0 == [1, 2, 3]
+    null_host = [r for r in rows if r.host is None]
+    assert len(null_host) == 1 and null_host[0].seq == 1

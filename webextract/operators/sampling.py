@@ -419,9 +419,12 @@ def fetch_waves(
         ``per_wave``. Pure codegen from there.
 
     The oracle states the semantics as the naive single window —
-    equality proves the bucketed enumeration exact.
+    equality proves the bucketed enumeration exact. The enumeration is
+    TOTAL: NULL keys fingerprint as md5('') and a NULL host is its own
+    (null-safely joined) partition, so no input row is ever dropped —
+    a plain inner equi-join here would silently lose NULL-keyed rows.
     """
-    fp = F.md5(F.col(key_col).cast("string"))
+    fp = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
     rows = df.withColumn("_fp", fp).withColumn(
         "_b", F.substring(F.col("_fp"), 1, WAVE_BUCKETS_HEX)
     )
@@ -432,8 +435,8 @@ def fetch_waves(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        host_col,
-        "_b",
+        F.col(host_col).alias("_oh"),
+        F.col("_b").alias("_ob"),
         F.coalesce(F.sum("_n").over(run), F.lit(0)).alias("_off"),
     )
     local = Window.partitionBy(host_col, "_b").orderBy(
@@ -442,8 +445,12 @@ def fetch_waves(
     seq = (F.col("_off") + F.col("_r")).cast("long")
     return (
         rows.withColumn("_r", F.row_number().over(local))
-        .join(offsets, [host_col, "_b"])
+        .join(
+            offsets,
+            F.col(host_col).eqNullSafe(F.col("_oh"))
+            & (F.col("_b") == F.col("_ob")),
+        )
         .withColumn("seq", seq)
         .withColumn("wave", F.expr(f"(seq - 1) DIV {int(per_wave)}"))
-        .drop("_fp", "_b", "_n", "_r", "_off")
+        .drop("_fp", "_b", "_r", "_oh", "_ob", "_off")
     )

@@ -262,10 +262,21 @@ def domain_blocklist(
     pure codegen, zero shuffles, no UDF; prune-before-extract order at
     10^12 docs (this gate runs on the url column alone, so it goes
     BEFORE any html ever crosses to Python).
+
+    The authority is CANONICALIZED before matching — lowercased,
+    userinfo/port stripped, trailing dot removed (the same rules
+    :func:`canonical_url` applies) — so 'https://USER@BAD.example.:443/'
+    cannot sidestep a 'bad.example' entry. ``host`` in the output is
+    the canonical form actually matched.
     """
     from webextract.operators.links import host_of
 
-    host = host_of(F.col(url_col))
+    raw = F.lower(host_of(F.col(url_col)))
+    host = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(raw, "^[^@]*@", ""), ":[0-9]+$", ""),
+        r"\.$",
+        "",
+    )
     parts = F.split(host, r"\.")
 
     def suffix(i: Column) -> Column:
