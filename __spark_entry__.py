@@ -771,10 +771,12 @@ def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus word-bigrams with occurrence totals and doc
     frequencies (the n-gram-LM count table). The oracle replays the
-    same gram construction and two-level aggregation in SQL."""
+    same gram construction and two-level aggregation in SQL. Spread
+    input: the gram explode is the heavy stage, and the one-row-group
+    fixture parquet cannot range-split without it."""
     from webextract.operators.vocab import ngram_counts
 
-    return ngram_counts(_docs(spark, sf_dir), n=2, k=20)
+    return ngram_counts(_docs_spread(spark, sf_dir), n=2, k=20)
 
 
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -245,6 +245,7 @@ def ivf_assign(
     seed: int = PLANE_SEED,
     train_cap: int = 100_000,
     sample_frac: float | None = None,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids (Spark ML, JVM-side),
     trained on a bounded SAMPLE of the corpus; every vector then gets
@@ -272,7 +273,7 @@ def ivf_assign(
     if sample_frac is not None:
         train = train.sample(False, sample_frac, seed)
     train = train.limit(train_cap)
-    km = KMeans(k=n_lists, seed=seed, featuresCol="features")
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features", maxIter=max_iter)
     model = km.fit(train)
     assigned = (
         model.transform(feat)
@@ -475,6 +476,7 @@ def semdedup(
     threshold: float = 0.95,
     train_cap: int = 100_000,
     sample_frac: float | None = None,
+    km_iter: int = 5,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means partitioning — cluster the embedding
@@ -503,9 +505,12 @@ def semdedup(
     """
     from webextract.operators.dedup import connected_components
 
+    # a PARTITION is all the quantizer provides here — near-identical
+    # vectors co-cluster long before k-means converges, so the fit is
+    # capped at km_iter rounds (each Lloyd round is a full Spark job)
     assigned, _ = ivf_assign(
         emb, dim, n_lists=n_lists, train_cap=train_cap,
-        sample_frac=sample_frac,
+        sample_frac=sample_frac, max_iter=km_iter,
     )
     sk = with_norm(assigned).localCheckpoint(eager=False)
     a, b = sk.alias("a"), sk.alias("b")
