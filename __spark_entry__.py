@@ -753,11 +753,20 @@ def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = F.concat(
         F.lit("# crawl policy\nSitemap: https://host"),
         F.col("h").cast("string"),
-        F.lit(".example/sitemap.xml\nUser-agent: googlebot\nDisallow: /private\n\n"),
+        F.lit(
+            ".example/sitemap.xml\nUser-agent: googlebot\n"
+            "Disallow: /private\nCrawl-delay: 99\n\n"
+        ),
         F.when(hmod == 0, F.lit("User-agent: *\nDisallow: /doc/1\nAllow: /doc/12\n"))
-        .when(hmod == 1, F.lit("User-agent: *\nDisallow: /doc/*7$\n"))
+        .when(
+            hmod == 1,
+            F.lit("User-agent: *\nDisallow: /doc/*7$\nCrawl-delay: 5\n"),
+        )
         .otherwise(
-            F.lit("User-agent: bot\r\nUser-agent: *\r\nDisallow: /\r\n")
+            F.lit(
+                "User-agent: bot\r\nUser-agent: *\r\nDisallow: /\r\n"
+                "Crawl-delay: 7\r\n"
+            )
         ),
     )
     return hosts.select(
@@ -765,6 +774,46 @@ def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "host"
         ),
         F.encode(body, "UTF-8").alias("body"),
+    )
+
+
+def q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Crawl-delay from the `*` stanza of the planted
+    robots.txt: hmod 1 declares 5, hmod 2 declares 7 (CRLF framed),
+    hmod 0 declares none, and EVERY host carries a googlebot-stanza
+    decoy of 99 that must not apply. The oracle states the (host,
+    seconds) pairs from the host arithmetic — ground truth."""
+    from webextract.operators.robots import crawl_delays
+
+    return crawl_delays(_synth_robots(spark, sf_dir))
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-scheduling composition: fetchable frontier urls
+    (sitemap × robots verdict) run through the politeness enumeration
+    (fetch_waves) and the host's declared Crawl-delay →
+    (url, host, seq, wave, not_before_s = wave · delay, default 1 s).
+    Three planted families composed end to end; the oracle restates
+    all three ground truths plus the naive window."""
+    from webextract.operators.links import host_of
+    from webextract.operators.robots import crawl_delays
+    from webextract.operators.sampling import fetch_waves
+
+    fetchable = (
+        q_crawl_frontier(spark, sf_dir)
+        .filter(F.col("fetch"))
+        .select("url", host_of(F.col("url")).alias("host"))
+    )
+    waves = fetch_waves(fetchable, per_wave=2)
+    delays = crawl_delays(_synth_robots(spark, sf_dir))
+    return waves.join(delays, "host", "left").select(
+        "url",
+        "host",
+        "seq",
+        "wave",
+        (F.col("wave") * F.coalesce(F.col("crawl_delay_s"), F.lit(1)))
+        .cast("long")
+        .alias("not_before_s"),
     )
 
 
@@ -1477,6 +1526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_waves": q_fetch_waves,
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_frontier": q_crawl_frontier,
+        "crawl_delays": q_crawl_delays,
+        "fetch_schedule": q_fetch_schedule,
         "document_outline": q_document_outline,
         "heading_paths": q_heading_paths,
         "split_assign": q_split_assign,
@@ -2295,6 +2346,53 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    FROM hosts, (VALUES (1), (2)) AS t(i)),
             u AS (SELECT * FROM stale UNION ALL SELECT * FROM nw)
             SELECT url, status, blocked, NOT blocked AS fetch FROM u
+        """,
+        # ground truth: only hmod 1 (5 s) and hmod 2 (7 s) declare a
+        # `*`-stanza delay; the googlebot decoy (99) must never appear
+        "crawl_delays": f"""
+            SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+                   CAST(CASE WHEN h % 3 = 1 THEN 5 ELSE 7 END AS BIGINT)
+                       AS crawl_delay_s
+            FROM (SELECT DISTINCT {_HOST} AS h FROM documents)
+            WHERE h % 3 <> 0
+        """,
+        # the crawl_frontier ground truth, windowed naively per host,
+        # with the planted delay arithmetic (hmod 2 is fully blocked so
+        # only hmod 1's 5 s and hmod 0's 1 s default can appear)
+        "fetch_schedule": f"""
+            WITH hosts AS (SELECT DISTINCT {_HOST} AS h FROM documents),
+            st AS (SELECT {_URL} AS url, ({_HOST}) % 3 AS hm,
+                          CAST(doc_id AS VARCHAR) AS ds
+                   FROM documents
+                   WHERE doc_id % 4 <> 3 AND doc_id % 5 = 0),
+            stale AS (SELECT url,
+                             CASE WHEN hm = 2 THEN TRUE
+                                  WHEN hm = 1 THEN ds LIKE '%7'
+                                  ELSE ds LIKE '1%'
+                                       AND NOT ds LIKE '12%' END AS blocked
+                      FROM st),
+            nw AS (SELECT 'https://host' || CAST(h AS VARCHAR)
+                            || '.example/new/' || CAST(i AS VARCHAR) AS url,
+                          h % 3 = 2 AS blocked
+                   FROM hosts, (VALUES (1), (2)) AS t(i)),
+            u AS (SELECT url FROM stale WHERE NOT blocked
+                  UNION ALL SELECT url FROM nw WHERE NOT blocked),
+            hh AS (SELECT url,
+                          regexp_extract(url, '^https://([^/]+)', 1) AS host
+                   FROM u),
+            r AS (SELECT url, host, row_number() OVER
+                         (PARTITION BY host
+                          ORDER BY md5(url) ASC, url ASC) AS seq
+                  FROM hh),
+            d AS (SELECT url, host, seq, (seq - 1) // 2 AS wave,
+                         CAST(regexp_extract(host, 'host([0-9]+)', 1)
+                              AS INTEGER) AS hn
+                  FROM r)
+            SELECT url, host, CAST(seq AS BIGINT) AS seq,
+                   CAST(wave AS BIGINT) AS wave,
+                   CAST(wave * (CASE WHEN hn % 3 = 1 THEN 5 ELSE 1 END)
+                        AS BIGINT) AS not_before_s
+            FROM d
         """,
         "chunk_texts": """
             WITH d AS (SELECT doc_id, doc_id % 8 AS shard,

@@ -94,6 +94,8 @@ def main() -> None:
         "sitemap_discovery",
         "sitemap_frontier",
         "crawl_frontier",
+        "crawl_delays",
+        "fetch_schedule",
         "lm_buckets",
         "lang_rebalance",
         "host_boiler",

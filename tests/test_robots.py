@@ -161,3 +161,38 @@ def test_sitemap_urls_global_case_preserving(spark):
     got = sorted(r.sitemap_url for r in sitemap_urls(df).collect())
     # case of the URL preserved, field name case-insensitive, CRLF ok
     assert got == ["https://h.example/SiteMap.xml", "https://h.example/s2.xml"]
+
+
+def _delays(spark, host_bodies):
+    from webextract.operators.robots import crawl_delays
+
+    return {
+        r["host"]: r["crawl_delay_s"]
+        for r in crawl_delays(_robots(spark, host_bodies)).collect()
+    }
+
+
+def test_crawl_delay_star_stanza_only(spark):
+    body = (
+        "User-agent: googlebot\nCrawl-delay: 99\n\n"
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 4\n"
+    )
+    assert _delays(spark, {"h": body}) == {"h": 4}
+
+
+def test_crawl_delay_first_star_declaration_wins(spark):
+    body = (
+        "User-agent: *\nCrawl-delay: 3\n\n"
+        "User-agent: *\nCrawl-delay: 8\n"
+    )
+    assert _delays(spark, {"h": body}) == {"h": 3}
+
+
+def test_crawl_delay_non_numeric_and_absent_ignored(spark):
+    bodies = {
+        "frac": "User-agent: *\nCrawl-delay: 2.5\n",   # fractional → ignored
+        "text": "User-agent: *\nCrawl-delay: fast\n",
+        "none": "User-agent: *\nDisallow: /x\n",
+        "ok": "User-agent: *\nCRAWL-DELAY: 6\n",       # case-insensitive field
+    }
+    assert _delays(spark, bodies) == {"ok": 6}

@@ -68,15 +68,14 @@ def _robots_lines(robots: DataFrame, body_col: str) -> DataFrame:
     )
 
 
-def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
-    """robots(host, body:binary) → (host, verb, path): the Allow /
-    Disallow rules of every ``User-agent: *`` stanza.
-
-    Stanza tracking is gaps-and-islands: a user-agent line whose
-    PREVIOUS line is not a user-agent line starts a new stanza (so
-    stacked ``User-agent: a`` / ``User-agent: *`` share one stanza);
-    a stanza's rules apply iff any of its agent lines is ``*``.
-    """
+def _stanzas(robots: DataFrame, body_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared stanza machinery: → (st, star) where ``st`` is every
+    non-empty line tagged (host, ln, line, is_ua, val, low, stanza)
+    and ``star`` is the (host, stanza) set whose agent lines include
+    ``*``. Stanza tracking is gaps-and-islands: a user-agent line
+    whose PREVIOUS line is not a user-agent line starts a new stanza
+    (so stacked ``User-agent: a`` / ``User-agent: *`` share one
+    stanza)."""
     lines = _robots_lines(robots, body_col)
     low = F.lower(F.col("line"))
     is_ua = low.startswith("user-agent:")
@@ -103,6 +102,14 @@ def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
         .select("host", "stanza")
         .distinct()
     )
+    return st, star
+
+
+def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
+    """robots(host, body:binary) → (host, verb, path): the Allow /
+    Disallow rules of every ``User-agent: *`` stanza (stanza
+    semantics: :func:`_stanzas`)."""
+    st, star = _stanzas(robots, body_col)
     rules = st.filter(
         F.col("low").startswith("disallow:") | F.col("low").startswith("allow:")
     ).select(
@@ -118,6 +125,35 @@ def parse_robots(robots: DataFrame, body_col: str = "body") -> DataFrame:
         rules.join(star, ["host", "stanza"])
         .filter(F.col("path") != "")
         .select("host", "verb", "path")
+    )
+
+
+def crawl_delays(robots: DataFrame, body_col: str = "body") -> DataFrame:
+    """robots(host, body:binary) → (host, crawl_delay_s): the
+    ``Crawl-delay:`` of every host's ``User-agent: *`` stanza — the
+    de-facto politeness field (not in RFC 9309 but honored by most
+    crawlers), consumed by the fetch scheduler as seconds between a
+    host's politeness waves.
+
+    Frozen semantics: integer seconds only (a non-numeric or
+    fractional value is ignored — the conservative read is the
+    caller's default); when several ``*`` stanzas declare one, the
+    FIRST in file order wins; a delay in a non-``*`` stanza (e.g. a
+    googlebot-only block) never applies. Hosts without a valid
+    declaration are simply absent — the scheduler's default covers
+    them.
+    """
+    st, star = _stanzas(robots, body_col)
+    w = Window.partitionBy("host").orderBy("ln")
+    return (
+        st.filter(
+            F.col("low").startswith("crawl-delay:")
+            & F.col("val").rlike("^[0-9]+$")
+        )
+        .join(star, ["host", "stanza"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("host", F.col("val").cast("long").alias("crawl_delay_s"))
     )
 
 
