@@ -173,3 +173,40 @@ def test_snapshot_reader_ignores_uncommitted_files(spark, pages, tmp_path):
     )
     shutil.copy(os.path.join(str(tmp_path / "stray"), src), stray)
     assert log.read_as_of(spark).count() == n
+
+
+def test_orphan_detection_and_vacuum(spark, pages, tmp_path):
+    """A crashed wave's uncommitted parquet is detected as an orphan
+    and vacuumed; committed files and the snapshot log are untouched,
+    and the time-travel scan is identical before and after."""
+    import shutil
+
+    from webextract.plans.snapshots import SnapshotLog
+
+    cfg = JobConfig(output_dir=str(tmp_path / "out"), n_buckets=4, wave_size=4)
+    run_extraction(spark, pages, cfg)
+    log = SnapshotLog(cfg.output_dir)
+    data_dir = os.path.join(cfg.output_dir, "extracted")
+    n = log.read_as_of(spark).count()
+    assert log.orphan_files(data_dir) == []
+
+    # plant a crashed-wave leftover
+    stray_dir = os.path.join(data_dir, "bucket=1")
+    spark.read.parquet(stray_dir).limit(3).write.mode("overwrite").parquet(
+        str(tmp_path / "stray2")
+    )
+    src = next(
+        f
+        for f in os.listdir(str(tmp_path / "stray2"))
+        if f.endswith(".parquet")
+    )
+    stray = os.path.join(stray_dir, "part-crashed-wave.parquet")
+    shutil.copy(os.path.join(str(tmp_path / "stray2"), src), stray)
+
+    assert log.orphan_files(data_dir) == [stray]
+    removed = log.remove_orphans(data_dir)
+    assert removed == [stray] and not os.path.exists(stray)
+    # committed data, chain, and scan all intact
+    log.validate()
+    assert log.orphan_files(data_dir) == []
+    assert log.read_as_of(spark).count() == n

@@ -146,3 +146,39 @@ class SnapshotLog:
         if not files:
             raise ValueError("no committed snapshots to read")
         return spark.read.parquet(*files)
+
+    # -- maintenance --------------------------------------------------------
+
+    def orphan_files(self, data_dir: str) -> list[str]:
+        """Data files on disk under ``data_dir`` that NO committed
+        snapshot references — the leftovers of a crashed, uncommitted
+        wave. Readers never see them anyway (scan planning comes from
+        the log, not directory listing); this is the storage-reclaim
+        view — the ``remove_orphan_files`` maintenance action of the
+        real table format. Only ``*.parquet`` files are considered;
+        the snapshot log itself is never a candidate."""
+        committed = {
+            os.path.realpath(f) for f in self.files_as_of()
+        }
+        orphans = []
+        for root, _dirs, names in os.walk(data_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, name)
+                if os.path.realpath(p) not in committed:
+                    orphans.append(p)
+        return sorted(orphans)
+
+    def remove_orphans(self, data_dir: str) -> list[str]:
+        """Delete (and return) the orphans. Safe at any point: a file
+        is an orphan only if no committed snapshot references it, and
+        a wave's files are committed ATOMICALLY after they are fully
+        written — so a concurrent wave's in-flight files are the only
+        deletable-but-wanted case, which callers rule out by running
+        maintenance between waves (exactly Iceberg's contract for
+        ``remove_orphan_files``)."""
+        removed = self.orphan_files(data_dir)
+        for p in removed:
+            os.remove(p)
+        return removed
