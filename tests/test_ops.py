@@ -919,20 +919,21 @@ def test_domain_blocklist_canonicalizes_authority(spark):
     from pyspark.sql import Row
     from webextract.operators.urlnorm import domain_blocklist
 
+    bad = [
+        "https://BAD.example/x",
+        "https://bad.example:443/y",
+        "https://user@bad.example/z",
+        "https://bad.example./w",
+        "https://a@b@bad.example/u",   # userinfo delimits at the LAST @
+        "https://bad.example:/t",      # empty port form browsers accept
+    ]
     pages = spark.createDataFrame(
-        [
-            Row(url="https://BAD.example/x"),
-            Row(url="https://bad.example:443/y"),
-            Row(url="https://user@bad.example/z"),
-            Row(url="https://bad.example./w"),
-            Row(url="https://fine.example/v"),
-        ]
+        [Row(url=u) for u in bad] + [Row(url="https://fine.example/v")]
     )
     out = {r.url: r for r in
            domain_blocklist(pages, blocked=("bad.example",)).collect()}
-    # case, default port, userinfo, and trailing dot cannot sidestep
-    for u in list(out)[:4]:
-        if "fine" not in u:
-            assert not out[u].keep, u
-            assert out[u].host == "bad.example"
+    # case, port (incl. empty), userinfo, trailing dot cannot sidestep
+    for u in bad:
+        assert not out[u].keep, u
+        assert out[u].host == "bad.example", u
     assert out["https://fine.example/v"].keep

@@ -210,3 +210,43 @@ def test_orphan_detection_and_vacuum(spark, pages, tmp_path):
     log.validate()
     assert log.orphan_files(data_dir) == []
     assert log.read_as_of(spark).count() == n
+
+
+def test_orphan_paths_anchor_to_log_not_cwd(tmp_path, monkeypatch):
+    """A log whose snapshots record RELATIVE file paths (written with a
+    relative output_dir) must not classify the whole committed table
+    as orphans when maintenance runs from a different CWD — and
+    remove_orphans must refuse outright if no committed file resolves
+    under the data dir."""
+    from webextract.plans.snapshots import SnapshotLog
+
+    workdir = tmp_path / "work"
+    data = workdir / "rel" / "out" / "extracted" / "bucket=0"
+    data.mkdir(parents=True)
+    (data / "part-0.parquet").write_bytes(b"PAR1")
+    monkeypatch.chdir(workdir)  # write-time CWD: paths recorded relative
+    log = SnapshotLog("rel/out")
+    log.append([0], ["rel/out/extracted/bucket=0/part-0.parquet"])
+
+    monkeypatch.chdir(tmp_path)  # maintenance runs from a DIFFERENT CWD
+    log2 = SnapshotLog(str(workdir / "rel" / "out"))
+    data_dir = str(workdir / "rel" / "out" / "extracted")
+    assert log2.orphan_files(data_dir) == []  # nothing falsely orphaned
+    assert log2.remove_orphans(data_dir) == []
+    assert (data / "part-0.parquet").exists()
+
+    # a real orphan next to the committed file is still caught
+    (data / "part-crashed.parquet").write_bytes(b"PAR1")
+    assert log2.remove_orphans(data_dir) == [
+        str(data / "part-crashed.parquet")
+    ]
+
+    # guard: a wrong data_dir with parquet in it must refuse, not delete
+    decoy = tmp_path / "decoy"
+    decoy.mkdir()
+    (decoy / "live.parquet").write_bytes(b"PAR1")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="refused"):
+        log2.remove_orphans(str(decoy))
+    assert (decoy / "live.parquet").exists()

@@ -196,3 +196,10 @@ def test_crawl_delay_non_numeric_and_absent_ignored(spark):
         "ok": "User-agent: *\nCRAWL-DELAY: 6\n",       # case-insensitive field
     }
     assert _delays(spark, bodies) == {"ok": 6}
+
+
+def test_crawl_delay_overflow_is_ignored_not_fatal(spark):
+    # 20 digits passes a naive numeric regex but overflows BIGINT —
+    # under ANSI mode a plain cast would fail the whole job
+    body = "User-agent: *\nCrawl-delay: 99999999999999999999\n"
+    assert _delays(spark, {"h": body}) == {}

@@ -242,6 +242,25 @@ def crawl_diff(
 BLOCKED_DOMAINS: tuple[str, ...] = ("host3.example", "host7.example")
 
 
+def canonical_host(url: Column) -> Column:
+    """The DOMAIN-matching canonicalization of a url's authority:
+    lowercase, userinfo stripped greedily (RFC 3986 delimits userinfo
+    at the LAST '@' — '^[^@]*@' would leave 'b@bad.example' from
+    'a@b@bad.example'), port stripped including the empty ':' form
+    browsers accept, trailing dot removed. Pure codegen. Used where
+    hosts are compared as DOMAINS (blocklists); :func:`canonical_url`
+    intentionally keeps userinfo and non-default ports because they
+    are part of URL identity."""
+    from webextract.operators.links import host_of
+
+    raw = F.lower(host_of(url))
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(raw, "^.*@", ""), ":[0-9]*$", ""),
+        r"\.$",
+        "",
+    )
+
+
 def domain_blocklist(
     pages: DataFrame,
     blocked: tuple[str, ...] = BLOCKED_DOMAINS,
@@ -263,20 +282,17 @@ def domain_blocklist(
     10^12 docs (this gate runs on the url column alone, so it goes
     BEFORE any html ever crosses to Python).
 
-    The authority is CANONICALIZED before matching — lowercased,
-    userinfo/port stripped, trailing dot removed (the same rules
-    :func:`canonical_url` applies) — so 'https://USER@BAD.example.:443/'
-    cannot sidestep a 'bad.example' entry. ``host`` in the output is
-    the canonical form actually matched.
+    The authority is CANONICALIZED before matching via
+    :func:`canonical_host` — lowercased, userinfo and port (even an
+    empty ':') stripped, trailing dot removed — so
+    'https://a@b@BAD.example.:443/' cannot sidestep a 'bad.example'
+    entry. This is deliberately STRICTER than :func:`canonical_url`
+    (which preserves non-default ports and userinfo because they are
+    part of url identity): a blocklist matches the DOMAIN, not the
+    url. ``host`` in the output is the canonical form actually
+    matched.
     """
-    from webextract.operators.links import host_of
-
-    raw = F.lower(host_of(F.col(url_col)))
-    host = F.regexp_replace(
-        F.regexp_replace(F.regexp_replace(raw, "^[^@]*@", ""), ":[0-9]+$", ""),
-        r"\.$",
-        "",
-    )
+    host = canonical_host(F.col(url_col))
     parts = F.split(host, r"\.")
 
     def suffix(i: Column) -> Column:

@@ -149,6 +149,33 @@ class SnapshotLog:
 
     # -- maintenance --------------------------------------------------------
 
+    def _committed_realpaths(self) -> set[str]:
+        """Committed file paths resolved robustly: absolute paths
+        directly; RELATIVE paths (a log written with a relative
+        ``output_dir``) are resolved against the current CWD AND by
+        ALIGNING the recorded path's leading components with the
+        trailing components of the log's real ``output_dir`` (a
+        relative config path starts with the output_dir string as
+        written, so 'a/b/out/extracted/x.parquet' anchors at
+        …/a/b/out) — a maintenance process running from a different
+        CWD must not mistake the entire committed table for orphans."""
+        out_dir = os.path.dirname(os.path.realpath(self.dir))
+        out_parts = out_dir.split(os.sep)
+        out: set[str] = set()
+        for f in self.files_as_of():
+            out.add(os.path.realpath(f))
+            if not os.path.isabs(f):
+                parts = f.split(os.sep)
+                for k in range(len(parts) - 1, 0, -1):
+                    if out_parts[-k:] == parts[:k]:
+                        out.add(
+                            os.path.realpath(
+                                os.path.join(out_dir, *parts[k:])
+                            )
+                        )
+                        break
+        return out
+
     def orphan_files(self, data_dir: str) -> list[str]:
         """Data files on disk under ``data_dir`` that NO committed
         snapshot references — the leftovers of a crashed, uncommitted
@@ -157,9 +184,7 @@ class SnapshotLog:
         view — the ``remove_orphan_files`` maintenance action of the
         real table format. Only ``*.parquet`` files are considered;
         the snapshot log itself is never a candidate."""
-        committed = {
-            os.path.realpath(f) for f in self.files_as_of()
-        }
+        committed = self._committed_realpaths()
         orphans = []
         for root, _dirs, names in os.walk(data_dir):
             for name in names:
@@ -177,8 +202,27 @@ class SnapshotLog:
         written — so a concurrent wave's in-flight files are the only
         deletable-but-wanted case, which callers rule out by running
         maintenance between waves (exactly Iceberg's contract for
-        ``remove_orphan_files``)."""
-        removed = self.orphan_files(data_dir)
-        for p in removed:
+        ``remove_orphan_files``).
+
+        Mass-deletion guard: if the log references committed files but
+        NOT ONE of them can be located under ``data_dir``, the path
+        anchoring is wrong (wrong dir, moved table, stale log) and the
+        "orphans" are almost certainly the live table — raise instead
+        of deleting anything."""
+        committed = self._committed_realpaths()
+        orphans = self.orphan_files(data_dir)
+        if committed and orphans:
+            on_disk = set()
+            for root, _dirs, names in os.walk(data_dir):
+                for name in names:
+                    if name.endswith(".parquet"):
+                        on_disk.add(os.path.realpath(os.path.join(root, name)))
+            if not (committed & on_disk):
+                raise RuntimeError(
+                    "remove_orphans refused: no committed file resolves "
+                    f"under {data_dir!r} — path anchoring is wrong and "
+                    "deleting would destroy the live table"
+                )
+        for p in orphans:
             os.remove(p)
-        return removed
+        return orphans
