@@ -178,3 +178,47 @@ def test_robots_verdict_never_shuffles_the_corpus(spark):
     # and the pages table is scanned exactly once
     assert plan.count("Scan parquet") == pages._jdf.queryExecution(
     ).executedPlan().toString().count("Scan parquet")
+
+
+def test_gopher_rules_is_pure_map_stage(spark):
+    plan = plan_of(entrymod.q_gopher_rules(spark, SF))
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert node not in plan
+
+
+def test_domain_blocklist_is_pure_map_stage(spark):
+    plan = plan_of(entrymod.q_domain_blocklist(spark, SF))
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert node not in plan
+
+
+def test_bm25_reuses_checkpointed_grid_and_prunes_topk(spark):
+    """The (doc, word) grid must be computed ONCE (checkpoint → the
+    df branch and the scoring branch both read an ExistingRDD), the
+    query-term filter must reach the scan side, and the per-query
+    top-k must prune via WindowGroupLimit, never a global sort."""
+    plan = plan_of(entrymod.q_bm25(spark, SF), execute=True)
+    assert "ExistingRDD" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fetch_waves_single_corpus_exchange(spark):
+    """The bucketed enumeration shuffles the corpus ONCE (the
+    (host, bucket) window); the offsets side table is the only other
+    exchange and joins back broadcast at fixture scale — never a
+    cartesian, never a Python node."""
+    plan = plan_of(entrymod.q_fetch_waves(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus-side exchanges: window shuffle (+ the tiny offsets agg);
+    # a regression to per-row joins would multiply these
+    assert plan.count("Exchange") <= 4
+
+
+def test_kie_pairs_single_arrow_stage_no_shuffle(spark):
+    plan = plan_of(entrymod.q_kie_pairs(spark, SF))
+    assert plan.count("MapInArrow") == 1
+    assert "Exchange" not in plan
