@@ -937,3 +937,21 @@ def test_domain_blocklist_canonicalizes_authority(spark):
         assert not out[u].keep, u
         assert out[u].host == "bad.example", u
     assert out["https://fine.example/v"].keep
+
+
+def test_domain_blocklist_strips_whatwg_whitespace(spark):
+    """A raw newline/tab smuggled into an href (legal inside attribute
+    values; the WHATWG URL parser strips tab/LF/CR) must not defeat
+    the blocklist's userinfo/suffix anchors."""
+    from pyspark.sql import Row
+    from webextract.operators.urlnorm import domain_blocklist
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://a\nb@bad.example/x"),
+            Row(url="https://bad.example\n/y"),
+            Row(url="https://bad.\texample/z"),
+        ]
+    )
+    out = domain_blocklist(pages, blocked=("bad.example",)).collect()
+    assert all(not r.keep and r.host == "bad.example" for r in out)

@@ -250,3 +250,28 @@ def test_orphan_paths_anchor_to_log_not_cwd(tmp_path, monkeypatch):
     with _pytest.raises(RuntimeError, match="refused"):
         log2.remove_orphans(str(decoy))
     assert (decoy / "live.parquet").exists()
+
+
+def test_remove_orphans_refuses_empty_log_and_missing_committed(tmp_path):
+    """Both mass-deletion guards: an empty log with data present, and
+    a committed path that resolves nowhere on disk."""
+    import pytest as _pytest
+
+    from webextract.plans.snapshots import SnapshotLog
+
+    data = tmp_path / "out" / "extracted"
+    data.mkdir(parents=True)
+    (data / "live.parquet").write_bytes(b"PAR1")
+
+    # empty log + data files → refuse
+    empty = SnapshotLog(str(tmp_path / "out"))
+    with _pytest.raises(RuntimeError, match="log is empty"):
+        empty.remove_orphans(str(data))
+    assert (data / "live.parquet").exists()
+
+    # a log whose committed path resolves nowhere → refuse
+    log = SnapshotLog(str(tmp_path / "out"))
+    log.append([0], [str(tmp_path / "out" / "extracted" / "gone.parquet")])
+    with _pytest.raises(RuntimeError, match="resolve"):
+        log.remove_orphans(str(data))
+    assert (data / "live.parquet").exists()

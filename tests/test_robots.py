@@ -203,3 +203,10 @@ def test_crawl_delay_overflow_is_ignored_not_fatal(spark):
     # under ANSI mode a plain cast would fail the whole job
     body = "User-agent: *\nCrawl-delay: 99999999999999999999\n"
     assert _delays(spark, {"h": body}) == {}
+
+
+def test_crawl_delay_leading_zeros_still_parse(spark):
+    # 19+ chars but castable: leading zeros must not trip the
+    # overflow bound
+    body = "User-agent: *\nCrawl-delay: 0000000000000000005\n"
+    assert _delays(spark, {"h": body}) == {"h": 5}

@@ -135,11 +135,12 @@ def crawl_delays(robots: DataFrame, body_col: str = "body") -> DataFrame:
     crawlers), consumed by the fetch scheduler as seconds between a
     host's politeness waves.
 
-    Frozen semantics: integer seconds only, at most 18 digits (a
-    non-numeric, fractional, or absurdly long value is ignored — the
-    conservative read is the caller's default, and the digit bound
-    keeps an adversarial robots.txt from overflowing the BIGINT cast,
-    which raises under ANSI mode instead of ignoring); when several
+    Frozen semantics: integer seconds only, at most 18 significant
+    digits with leading zeros tolerated (a non-numeric, fractional,
+    or absurdly long value is ignored — the conservative read is the
+    caller's default, and the digit bound keeps an adversarial
+    robots.txt from overflowing the BIGINT cast, which raises under
+    ANSI mode instead of ignoring); when several
     ``*`` stanzas declare one, the FIRST in file order wins; a delay
     in a non-``*`` stanza (e.g. a googlebot-only block) never
     applies. Hosts without a valid declaration are simply absent —
@@ -150,7 +151,7 @@ def crawl_delays(robots: DataFrame, body_col: str = "body") -> DataFrame:
     return (
         st.filter(
             F.col("low").startswith("crawl-delay:")
-            & F.col("val").rlike("^[0-9]{1,18}$")
+            & F.col("val").rlike("^0*[0-9]{1,18}$")
         )
         .join(star, ["host", "stanza"])
         .withColumn("rn", F.row_number().over(w))

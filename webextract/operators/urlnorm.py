@@ -244,16 +244,19 @@ BLOCKED_DOMAINS: tuple[str, ...] = ("host3.example", "host7.example")
 
 def canonical_host(url: Column) -> Column:
     """The DOMAIN-matching canonicalization of a url's authority:
-    lowercase, userinfo stripped greedily (RFC 3986 delimits userinfo
-    at the LAST '@' — '^[^@]*@' would leave 'b@bad.example' from
-    'a@b@bad.example'), port stripped including the empty ':' form
-    browsers accept, trailing dot removed. Pure codegen. Used where
-    hosts are compared as DOMAINS (blocklists); :func:`canonical_url`
-    intentionally keeps userinfo and non-default ports because they
-    are part of URL identity."""
+    ASCII tab/LF/CR stripped FIRST (the WHATWG URL parser removes them
+    anywhere in the input, so a raw newline smuggled into an href must
+    not defeat the later anchors), lowercase, userinfo stripped
+    greedily (the WHATWG standard — what browsers implement — delimits
+    userinfo at the LAST '@'; '^[^@]*@' would leave 'b@bad.example'
+    from 'a@b@bad.example'), port stripped including the empty ':'
+    form browsers accept, trailing dot removed. Pure codegen. Used
+    where hosts are compared as DOMAINS (blocklists);
+    :func:`canonical_url` intentionally keeps userinfo and non-default
+    ports because they are part of URL identity."""
     from webextract.operators.links import host_of
 
-    raw = F.lower(host_of(url))
+    raw = F.regexp_replace(F.lower(host_of(url)), "[\\t\\n\\r]", "")
     return F.regexp_replace(
         F.regexp_replace(F.regexp_replace(raw, "^.*@", ""), ":[0-9]*$", ""),
         r"\.$",

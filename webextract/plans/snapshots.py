@@ -149,32 +149,46 @@ class SnapshotLog:
 
     # -- maintenance --------------------------------------------------------
 
-    def _committed_realpaths(self) -> set[str]:
-        """Committed file paths resolved robustly: absolute paths
-        directly; RELATIVE paths (a log written with a relative
-        ``output_dir``) are resolved against the current CWD AND by
-        ALIGNING the recorded path's leading components with the
-        trailing components of the log's real ``output_dir`` (a
-        relative config path starts with the output_dir string as
-        written, so 'a/b/out/extracted/x.parquet' anchors at
-        …/a/b/out) — a maintenance process running from a different
-        CWD must not mistake the entire committed table for orphans."""
+    def _committed_locations(self) -> list[tuple[str, set[str]]]:
+        """Per committed file: its recorded path and the CANDIDATE
+        realpaths it may live at. Absolute paths resolve directly;
+        RELATIVE paths (a log written with a relative ``output_dir``)
+        are resolved against the current CWD AND by ALIGNING the
+        recorded path's leading components with the trailing
+        components of the log's real ``output_dir`` (a relative
+        config path starts with the output_dir string as written, so
+        'a/b/out/extracted/x.parquet' anchors at …/a/b/out) — a
+        maintenance process running from a different CWD must not
+        mistake the entire committed table for orphans."""
         out_dir = os.path.dirname(os.path.realpath(self.dir))
         out_parts = out_dir.split(os.sep)
-        out: set[str] = set()
+        locs: list[tuple[str, set[str]]] = []
         for f in self.files_as_of():
-            out.add(os.path.realpath(f))
+            cands = {os.path.realpath(f)}
             if not os.path.isabs(f):
                 parts = f.split(os.sep)
                 for k in range(len(parts) - 1, 0, -1):
                     if out_parts[-k:] == parts[:k]:
-                        out.add(
+                        cands.add(
                             os.path.realpath(
                                 os.path.join(out_dir, *parts[k:])
                             )
                         )
                         break
-        return out
+            locs.append((f, cands))
+        return locs
+
+    @staticmethod
+    def _walk_parquet(data_dir: str) -> dict[str, str]:
+        """realpath → as-found path of every ``*.parquet`` under
+        ``data_dir`` (one walk, shared by detection and the guard)."""
+        found: dict[str, str] = {}
+        for root, _dirs, names in os.walk(data_dir):
+            for name in names:
+                if name.endswith(".parquet"):
+                    p = os.path.join(root, name)
+                    found[os.path.realpath(p)] = p
+        return found
 
     def orphan_files(self, data_dir: str) -> list[str]:
         """Data files on disk under ``data_dir`` that NO committed
@@ -184,16 +198,9 @@ class SnapshotLog:
         view — the ``remove_orphan_files`` maintenance action of the
         real table format. Only ``*.parquet`` files are considered;
         the snapshot log itself is never a candidate."""
-        committed = self._committed_realpaths()
-        orphans = []
-        for root, _dirs, names in os.walk(data_dir):
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                p = os.path.join(root, name)
-                if os.path.realpath(p) not in committed:
-                    orphans.append(p)
-        return sorted(orphans)
+        committed = {c for _, cands in self._committed_locations() for c in cands}
+        on_disk = self._walk_parquet(data_dir)
+        return sorted(p for rp, p in on_disk.items() if rp not in committed)
 
     def remove_orphans(self, data_dir: str) -> list[str]:
         """Delete (and return) the orphans. Safe at any point: a file
@@ -204,25 +211,46 @@ class SnapshotLog:
         maintenance between waves (exactly Iceberg's contract for
         ``remove_orphan_files``).
 
-        Mass-deletion guard: if the log references committed files but
-        NOT ONE of them can be located under ``data_dir``, the path
-        anchoring is wrong (wrong dir, moved table, stale log) and the
-        "orphans" are almost certainly the live table — raise instead
-        of deleting anything."""
-        committed = self._committed_realpaths()
-        orphans = self.orphan_files(data_dir)
-        if committed and orphans:
-            on_disk = set()
-            for root, _dirs, names in os.walk(data_dir):
-                for name in names:
-                    if name.endswith(".parquet"):
-                        on_disk.add(os.path.realpath(os.path.join(root, name)))
-            if not (committed & on_disk):
-                raise RuntimeError(
-                    "remove_orphans refused: no committed file resolves "
-                    f"under {data_dir!r} — path anchoring is wrong and "
-                    "deleting would destroy the live table"
-                )
+        Mass-deletion guards (each raises rather than deleting):
+         * an EMPTY log with data files present is indistinguishable
+           from a mistyped ``output_dir`` pointing at the wrong table;
+         * NOT ONE committed file under ``data_dir`` means the
+           data_dir itself is wrong for this log;
+         * EVERY committed file must resolve to an existing file —
+           one committed path that resolves nowhere means the path
+           anchoring is wrong (moved table, differently-spelled
+           relative output_dir) or the table is already corrupt, and
+           the "orphans" may be the live data."""
+        locs = self._committed_locations()
+        on_disk = self._walk_parquet(data_dir)
+        committed = {c for _, cands in locs for c in cands}
+        orphans = sorted(
+            p for rp, p in on_disk.items() if rp not in committed
+        )
+        if orphans and not locs:
+            raise RuntimeError(
+                "remove_orphans refused: the snapshot log is empty but "
+                f"{data_dir!r} contains data files — wrong output_dir or "
+                "missing log; deleting would destroy a live table"
+            )
+        if orphans and locs and not (committed & set(on_disk)):
+            raise RuntimeError(
+                "remove_orphans refused: no committed file resolves "
+                f"under {data_dir!r} — wrong data_dir for this log; "
+                "deleting would destroy a live table"
+            )
+        missing = [
+            rec
+            for rec, cands in locs
+            if not any(os.path.exists(c) for c in cands)
+        ]
+        if orphans and missing:
+            raise RuntimeError(
+                "remove_orphans refused: committed file(s) resolve "
+                f"nowhere on disk (e.g. {missing[0]!r}) — path anchoring "
+                "is wrong or the table is corrupt; the 'orphans' may be "
+                "the live data"
+            )
         for p in orphans:
             os.remove(p)
         return orphans
