@@ -1064,6 +1064,42 @@ def q_kie_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kie_pairs(pages)
 
 
+def q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-region recovery at item granularity over three planted
+    shapes: two prose-separated lists (ul then ol), a pair of ADJACENT
+    lists that must MERGE (the tokenizer drops the textless container
+    block — the frozen linear semantics, stated as merged in the
+    oracle), and a no-list page contributing zero rows."""
+    from webextract.operators.kie import list_items
+    from webextract.sources.pages import page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    ids = doc_id.cast("string")
+    shape0 = F.concat(
+        F.lit("<html><body><p>intro</p><ul><li>alpha "),
+        ids,
+        F.lit(
+            "</li><li>beta</li></ul><p>mid</p>"
+            "<ol><li>gamma</li></ol></body></html>"
+        ),
+    )
+    shape1 = F.lit(
+        "<html><body><ul><li>one</li></ul>"
+        "<ul><li>two</li></ul></body></html>"
+    )
+    shape2 = F.lit("<html><body><p>plain prose only</p></body></html>")
+    html = (
+        F.when(doc_id % 3 == 0, shape0)
+        .when(doc_id % 3 == 1, shape1)
+        .otherwise(shape2)
+    )
+    pages = docs.select(
+        page_url(doc_id).alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return list_items(pages)
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5 bucket (98/1/1):
     a pure function of the row, so assignments survive recrawls,
@@ -1532,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_paths": q_heading_paths,
         "split_assign": q_split_assign,
         "kie_pairs": q_kie_pairs,
+        "list_items": q_list_items,
         "vocab_topk": q_vocab_topk,
         "inverted_index": q_inverted_index,
         "tfidf_keywords": q_tfidf_keywords,
@@ -2500,6 +2537,27 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             UNION ALL
             SELECT {_URL}, CAST(2 AS INTEGER), 'Color', 'blue'
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        # ground truth from the three planted shapes; shape 1's two
+        # ADJACENT lists are stated as ONE merged list (the frozen
+        # linear semantics), shape 2 contributes no rows
+        "list_items": f"""
+            SELECT {_URL} AS url, CAST(1 AS INTEGER) AS list_id,
+                   CAST(1 AS INTEGER) AS ordinal,
+                   'alpha ' || CAST(doc_id AS VARCHAR) AS text
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT {_URL}, CAST(1 AS INTEGER), CAST(2 AS INTEGER), 'beta'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT {_URL}, CAST(2 AS INTEGER), CAST(1 AS INTEGER), 'gamma'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT {_URL}, CAST(1 AS INTEGER), CAST(1 AS INTEGER), 'one'
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT {_URL}, CAST(1 AS INTEGER), CAST(2 AS INTEGER), 'two'
+            FROM documents WHERE doc_id % 3 = 1
         """,
         "vocab_topk": f"""
             WITH g AS (SELECT doc_id,

@@ -112,6 +112,7 @@ def main() -> None:
         "blocklist",
         "page_meta",
         "kie_pairs",
+        "list_items",
         "dedup_clusters",
         "dedup_keep_best",
         "dedup_simhash",

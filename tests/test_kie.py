@@ -69,3 +69,61 @@ def test_kie_pairs_spark_end_to_end(spark):
         (r.pair_id, r.key, r.value) for r in kie_pairs(pages).collect()
     )
     assert rows == [(1, "Author", "Ada"), (2, "Tags", "math"), (3, "Tags", "logic")]
+
+
+def test_group_list_items_runs_and_breaks():
+    from webextract.operators.kie import group_list_items
+
+    tags = ["p", "li", "li", "p", "li", "h2", "li", "li"]
+    txts = ["x", "a", "b", "y", "c", "H", "d", "e"]
+    assert group_list_items(tags, txts) == [
+        (1, 1, "a"), (1, 2, "b"), (2, 1, "c"), (3, 1, "d"), (3, 2, "e"),
+    ]
+    # empty li is skipped without breaking; empty breaker is dropped
+    # upstream (never surfaces) so it cannot break either
+    assert group_list_items(["li", "li", "li"], ["a", "", "b"]) == [
+        (1, 1, "a"), (1, 2, "b"),
+    ]
+    assert group_list_items([], []) == []
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["li", "p", "h2"]),
+            st.sampled_from(["", "a", "bb"]),
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_group_list_items_invariants(stream):
+    from webextract.operators.kie import group_list_items
+
+    out = group_list_items([t for t, _ in stream], [x for _, x in stream])
+    # one row per non-empty li, in order
+    assert [t for *_, t in out] == [x for tag, x in stream if tag == "li" and x]
+    # ordinals are dense 1..n within each list_id, list_ids non-decreasing
+    seen = {}
+    last_lid = 0
+    for lid, o, _ in out:
+        assert lid >= last_lid
+        last_lid = lid
+        seen[lid] = seen.get(lid, 0) + 1
+        assert o == seen[lid]
+
+
+def test_list_items_spark_end_to_end(spark):
+    html = (
+        "<html><body><ul><li>First</li><li>Second</li></ul>"
+        "<p>break</p><ol><li>Third</li></ol></body></html>"
+    )
+    from webextract.operators.kie import list_items
+
+    pages = spark.createDataFrame(
+        [Row(url="u1", html=bytearray(html.encode()))]
+    )
+    rows = sorted(
+        (r.list_id, r.ordinal, r.text) for r in list_items(pages).collect()
+    )
+    assert rows == [(1, 1, "First"), (1, 2, "Second"), (2, 1, "Third")]

@@ -112,3 +112,99 @@ def kie_pairs(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFram
             )
 
     return src.mapInArrow(run, KIE_PAIRS_SCHEMA)
+
+
+LIST_ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("list_id", T.IntegerType(), False),
+        T.StructField("ordinal", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+def group_list_items(
+    tags: list[str], texts: list[str]
+) -> list[tuple[int, int, str]]:
+    """The frozen list-grouping walk over one page's (tag, text) block
+    stream: maximal runs of consecutive non-empty ``li`` blocks form
+    one list, broken by any intervening non-li block with TEXT (a
+    paragraph, a heading). Container blocks (``ul``/``ol``) carry no
+    text of their own and are dropped by the tokenizer, so ADJACENT
+    lists merge and NESTED lists flatten into their parent's run —
+    the same linear reading-order model as the rest of the engine
+    (frozen, stated as such in the oracle). Returns
+    (list_id, ordinal, text) triples, both ids 1-based per page.
+    Exposed for property tests."""
+    out: list[tuple[int, int, str]] = []
+    list_id = 0
+    ordinal = 0
+    in_run = False
+    for tag, text in zip(tags, texts):
+        if not text:
+            continue
+        if tag == "li":
+            if not in_run:
+                list_id += 1
+                ordinal = 0
+                in_run = True
+            ordinal += 1
+            out.append((list_id, ordinal, text))
+        else:
+            in_run = False
+    return out
+
+
+def list_items(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """pages(url, html, ...) → (url, list_id, ordinal, text): every
+    list item with its list membership and 1-based position — the
+    PP-Structure list-REGION recovery at item granularity (the layout
+    model emits a 'list' region box, ppstructure/predict_system.py:
+    111-117; here the items inside it, in reading order). Same
+    reading-order grouping rule as :func:`kie_pairs`' dt/dd pairing;
+    same scale shape: ONE ``mapInArrow`` crossing on the shared
+    decode → tokenize front-end, zero shuffles."""
+    src = pages.select("url", "html")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            urls: list[str] = []
+            lids: list[int] = []
+            ords: list[int] = []
+            txts: list[str] = []
+            for url, raw in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist()
+            ):
+                if raw is None:
+                    raw = b""
+                if len(raw) > cfg.max_html_bytes:
+                    raw = raw[: cfg.max_html_bytes]
+                blocks = tokenize_blocks(decode_html(raw))
+                for lid, o, t in group_list_items(
+                    blocks["tag"], blocks["text"]
+                ):
+                    urls.append(url)
+                    lids.append(lid)
+                    ords.append(o)
+                    txts.append(t)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(lids, type=pa.int32()),
+                    pa.array(ords, type=pa.int32()),
+                    pa.array(txts, type=pa.string()),
+                ],
+                schema=pa.schema(
+                    [
+                        ("url", pa.string()),
+                        ("list_id", pa.int32()),
+                        ("ordinal", pa.int32()),
+                        ("text", pa.string()),
+                    ]
+                ),
+            )
+
+    return src.mapInArrow(run, LIST_ITEMS_SCHEMA)
