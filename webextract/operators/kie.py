@@ -1,4 +1,5 @@
-"""Key-information extraction: definition-list key→value pairing.
+"""Key-information extraction: definition-list key→value pairing and
+list-region item recovery.
 
 The PP-Structure KIE analog. The reference's KIE module labels text
 regions as QUESTION/ANSWER (SER — semantic entity recognition) and
@@ -10,7 +11,9 @@ encodes the same thing: in a ``<dl>`` definition list, ``<dt>`` IS the
 question/key and the ``<dd>``(s) that follow in reading order ARE its
 answers/values. SER ⇒ the dt/dd tag itself; RE ⇒ linear reading-order
 pairing — the same pairing rule the reference applies to its sorted
-text lines.
+text lines. :func:`list_items` applies the same reading-order model to
+list regions (the layout model's 'list' box,
+ppstructure/predict_system.py:111-117) at item granularity.
 
 Pairing semantics (frozen; linear DOM order, like the reference's
 reading-order RE):
@@ -21,17 +24,17 @@ reading-order RE):
  - a ``dt`` never followed by a ``dd`` emits nothing;
  - ``pair_id`` is the per-page 1-based emission sequence.
 
-Scale shape: ONE ``mapInArrow`` crossing (the same decode → tokenize
-front-end as extraction, so block order agrees exactly with the
-extraction spans); the walk is O(blocks) per page inside the batch —
-no shuffle at all, the output is url-partitioned exactly like its
-input. Everything downstream (grouping, joins against extraction)
-stays JVM-side.
+Scale shape: ONE ``mapInArrow`` crossing per operator (the same
+decode → tokenize front-end as extraction, so block order agrees
+exactly with the extraction spans); the walk is O(blocks) per page
+inside the batch — no shuffle at all, the output is url-partitioned
+exactly like its input. Everything downstream (grouping, joins
+against extraction) stays JVM-side.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame
@@ -50,6 +53,18 @@ KIE_PAIRS_SCHEMA = T.StructType(
     ]
 )
 
+LIST_ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("list_id", T.IntegerType(), False),
+        T.StructField("ordinal", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+# Spark type → the pyarrow type the RecordBatch columns are built with
+_PA_TYPES = {T.StringType(): pa.string(), T.IntegerType(): pa.int32()}
+
 
 def pair_blocks(tags: list[str], texts: list[str]) -> list[tuple[str, str]]:
     """The frozen pairing walk over one page's (tag, text) block
@@ -64,64 +79,6 @@ def pair_blocks(tags: list[str], texts: list[str]) -> list[tuple[str, str]]:
         elif tag == "dd" and key is not None:
             out.append((key, text))
     return out
-
-
-def kie_pairs(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
-    """pages(url, html, ...) → (url, pair_id, key, value): every
-    definition-list key with each of its reading-order values."""
-    src = pages.select("url", "html")
-
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
-            if not rb.num_rows:
-                continue
-            urls: list[str] = []
-            pair_ids: list[int] = []
-            keys: list[str] = []
-            values: list[str] = []
-            for url, raw in zip(
-                rb.column(0).to_pylist(), rb.column(1).to_pylist()
-            ):
-                if raw is None:
-                    raw = b""
-                if len(raw) > cfg.max_html_bytes:
-                    raw = raw[: cfg.max_html_bytes]
-                blocks = tokenize_blocks(decode_html(raw))
-                for i, (k, v) in enumerate(
-                    pair_blocks(blocks["tag"], blocks["text"]), start=1
-                ):
-                    urls.append(url)
-                    pair_ids.append(i)
-                    keys.append(k)
-                    values.append(v)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(urls, type=pa.string()),
-                    pa.array(pair_ids, type=pa.int32()),
-                    pa.array(keys, type=pa.string()),
-                    pa.array(values, type=pa.string()),
-                ],
-                schema=pa.schema(
-                    [
-                        ("url", pa.string()),
-                        ("pair_id", pa.int32()),
-                        ("key", pa.string()),
-                        ("value", pa.string()),
-                    ]
-                ),
-            )
-
-    return src.mapInArrow(run, KIE_PAIRS_SCHEMA)
-
-
-LIST_ITEMS_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType(), True),
-        T.StructField("list_id", T.IntegerType(), False),
-        T.StructField("ordinal", T.IntegerType(), False),
-        T.StructField("text", T.StringType(), False),
-    ]
-)
 
 
 def group_list_items(
@@ -156,25 +113,30 @@ def group_list_items(
     return out
 
 
-def list_items(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
-    """pages(url, html, ...) → (url, list_id, ordinal, text): every
-    list item with its list membership and 1-based position — the
-    PP-Structure list-REGION recovery at item granularity (the layout
-    model emits a 'list' region box, ppstructure/predict_system.py:
-    111-117; here the items inside it, in reading order). Same
-    reading-order grouping rule as :func:`kie_pairs`' dt/dd pairing;
-    same scale shape: ONE ``mapInArrow`` crossing on the shared
-    decode → tokenize front-end, zero shuffles."""
+def _page_walk_operator(
+    pages: DataFrame,
+    walker: Callable[[list[str], list[str]], list[tuple]],
+    schema: T.StructType,
+    cfg: ExtractConfig,
+) -> DataFrame:
+    """THE shared page-walk shape: decode → tokenize each page inside
+    one ``mapInArrow`` crossing, run ``walker`` over the (tag, text)
+    block stream, and emit ``(url, *walker_row)`` under ``schema``
+    (field 0 must be the url; the pyarrow schema is DERIVED from the
+    Spark schema so the two can never drift). Both KIE extractors are
+    instances; the decode/truncate prologue is identical to
+    extraction's, so block order agrees with the extraction spans."""
     src = pages.select("url", "html")
+    pa_schema = pa.schema(
+        [(f.name, _PA_TYPES[f.dataType]) for f in schema.fields]
+    )
+    n_out = len(schema.fields)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             if not rb.num_rows:
                 continue
-            urls: list[str] = []
-            lids: list[int] = []
-            ords: list[int] = []
-            txts: list[str] = []
+            cols: list[list] = [[] for _ in range(n_out)]
             for url, raw in zip(
                 rb.column(0).to_pylist(), rb.column(1).to_pylist()
             ):
@@ -183,28 +145,39 @@ def list_items(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFra
                 if len(raw) > cfg.max_html_bytes:
                     raw = raw[: cfg.max_html_bytes]
                 blocks = tokenize_blocks(decode_html(raw))
-                for lid, o, t in group_list_items(
-                    blocks["tag"], blocks["text"]
-                ):
-                    urls.append(url)
-                    lids.append(lid)
-                    ords.append(o)
-                    txts.append(t)
+                for row in walker(blocks["tag"], blocks["text"]):
+                    cols[0].append(url)
+                    for i, v in enumerate(row, start=1):
+                        cols[i].append(v)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(urls, type=pa.string()),
-                    pa.array(lids, type=pa.int32()),
-                    pa.array(ords, type=pa.int32()),
-                    pa.array(txts, type=pa.string()),
+                    pa.array(c, type=f.type)
+                    for c, f in zip(cols, pa_schema)
                 ],
-                schema=pa.schema(
-                    [
-                        ("url", pa.string()),
-                        ("list_id", pa.int32()),
-                        ("ordinal", pa.int32()),
-                        ("text", pa.string()),
-                    ]
-                ),
+                schema=pa_schema,
             )
 
-    return src.mapInArrow(run, LIST_ITEMS_SCHEMA)
+    return src.mapInArrow(run, schema)
+
+
+def kie_pairs(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """pages(url, html, ...) → (url, pair_id, key, value): every
+    definition-list key with each of its reading-order values."""
+
+    def walk(tags: list[str], texts: list[str]) -> list[tuple]:
+        return [
+            (i, k, v)
+            for i, (k, v) in enumerate(pair_blocks(tags, texts), start=1)
+        ]
+
+    return _page_walk_operator(pages, walk, KIE_PAIRS_SCHEMA, cfg)
+
+
+def list_items(pages: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """pages(url, html, ...) → (url, list_id, ordinal, text): every
+    list item with its list membership and 1-based position — the
+    PP-Structure list-REGION recovery at item granularity. Grouping
+    semantics: :func:`group_list_items`."""
+    return _page_walk_operator(
+        pages, group_list_items, LIST_ITEMS_SCHEMA, cfg
+    )
