@@ -2299,7 +2299,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    GROUP BY host),
             ldf AS (SELECT host, line,
                            COUNT(DISTINCT doc_id) AS n_docs_with
-                    FROM l GROUP BY host, line),
+                    FROM l WHERE line <> '' GROUP BY host, line),
             b AS (SELECT ldf.host, ldf.line
                   FROM ldf JOIN hd USING (host)
                   WHERE n_docs_with >= 3

@@ -47,6 +47,20 @@ def test_min_df_guards_tiny_hosts(spark):
     assert got[1].clean_text == "Tiny banner. X"
 
 
+def test_empty_lines_never_flagged_boilerplate(spark):
+    """Separator runs split into '' lines on every doc of a host —
+    frequency-wise they cross any bar, but flagging '' would silently
+    collapse the runs in the rebuilt text. They must be kept."""
+    rows = [
+        (5, 1, "A. . B"),
+        (5, 2, "C. . D"),
+        (5, 3, "E. . F"),
+    ]
+    got = _run(spark, rows, min_df=3, min_frac=0.5)
+    assert got[1].clean_text == "A. . B"
+    assert got[1].n_boiler == 0
+
+
 def test_repeated_line_within_one_doc_counts_once(spark):
     """df counts DOCS, not occurrences: one doc repeating a line three
     times must not make it host boilerplate."""

@@ -130,6 +130,35 @@ def test_verdict_wildcard_star_and_end_anchor(spark):
     assert not out["https://h.ex/tmp/keep/f"]["blocked"]
 
 
+def test_verdict_matches_path_plus_query(spark):
+    # RFC 9309 §2.2.2: the match target is path AND query (fragment
+    # excluded) — 'Disallow: /*?sessionid=' must block session URLs
+    rules = spark.createDataFrame(
+        [
+            Row(host="h.ex", verb="disallow", path="/*?sessionid="),
+            Row(host="h.ex", verb="disallow", path="/search?q=x$"),
+        ]
+    )
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://h.ex/cart?sessionid=abc"),     # blocked
+            Row(url="https://h.ex/cart"),                   # no query
+            Row(url="https://h.ex/search?q=x"),             # $ anchor hit
+            Row(url="https://h.ex/search?q=xy"),            # past anchor
+            Row(url="https://h.ex/a?sessionid=1#frag"),     # frag excluded
+            Row(url="https://h.ex?sessionid=1"),            # pathless+query
+        ]
+    )
+    out = {r["url"]: r for r in robots_verdict(pages, rules).collect()}
+    assert out["https://h.ex/cart?sessionid=abc"]["blocked"]
+    assert out["https://h.ex/cart?sessionid=abc"]["rule_path"] == "/*?sessionid="
+    assert not out["https://h.ex/cart"]["blocked"]
+    assert out["https://h.ex/search?q=x"]["blocked"]
+    assert not out["https://h.ex/search?q=xy"]["blocked"]
+    assert out["https://h.ex/a?sessionid=1#frag"]["blocked"]
+    assert out["https://h.ex?sessionid=1"]["blocked"]
+
+
 def test_verdict_regex_metachars_are_literal(spark):
     # '.', '(', '+' in a rule path must match literally, not as regex
     rules = spark.createDataFrame(

@@ -76,6 +76,48 @@ def test_pack_chunks_stream_invariants(spark):
             offset += r.n_tokens
 
 
+def test_stream_offsets_exact_under_any_partitioning(spark):
+    """The two-phase prefix sum must equal the naive per-shard running
+    sum for EVERY physical layout — including a pre-shuffled input and
+    a skewed one-shard stream (the 100 TB shape the rework exists
+    for)."""
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.col("id") % 7), lambda i: i)
+        ).alias("text"),
+    )
+    # n_shards=1: the whole corpus is ONE stream — the naive window's
+    # worst case, and the layout where boundary placement matters most
+    for df in (docs, docs.repartition(17)):
+        rows = pack_chunks(df, ctx=16, n_shards=1).collect()
+        offset = 0
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            assert r.start_tok == offset
+            offset += r.n_tokens
+
+
+def test_pack_chunks_plan_has_no_whole_shard_window(spark):
+    """The scale fix: the only running-sum window must partition on
+    (shard, run) — never on shard alone — and the offsets table comes
+    back as a broadcast join."""
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c").alias("text"),
+    )
+    df = pack_chunks(docs, ctx=16, n_shards=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, plan  # the local cumulative-sum window exists
+    for spec in specs:
+        # every running-sum spec carries the run id alongside shard
+        assert "_p" in spec or "shard" not in spec, spec
+    assert "BroadcastHashJoin" in plan
+
+
 def test_crawl_diff_statuses(spark):
     old = spark.createDataFrame(
         [("u1", "same"), ("u2", "before"), ("u3", "gone")], ["url", "text"]
@@ -100,6 +142,21 @@ def test_crawl_diff_fingerprints_roundtrip(spark):
     rows = {r.url: r for r in crawl_diff(new, old).collect()}
     assert rows["u1"].fp_new is None and rows["u1"].fp_old is not None
     assert rows["u2"].fp_new is not None and rows["u2"].fp_old is None
+
+
+def test_crawl_diff_null_text_is_presence_not_fp(spark):
+    """A url present in BOTH crawls with NULL text on one side has a
+    NULL fingerprint — presence must come from the join side, so it is
+    'changed', never 'new'/'deleted'; NULL on both sides compares
+    null-safe equal → 'unchanged'."""
+    old = spark.createDataFrame(
+        [("u1", "x"), ("u2", None), ("u3", None)], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("u1", None), ("u2", "y"), ("u3", None)], "url string, text string"
+    )
+    got = {r.url: r.status for r in crawl_diff(new, old).collect()}
+    assert got == {"u1": "changed", "u2": "changed", "u3": "unchanged"}
 
 
 def test_lang_rebalance_flattens_and_is_deterministic(spark):

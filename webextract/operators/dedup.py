@@ -507,8 +507,13 @@ def host_boilerplate_strip(
         ),
     ).localCheckpoint(eager=False)
     host_docs = docs.groupBy(host_col).agg(F.count("*").alias("host_docs"))
-    line_df = lines.groupBy(host_col, "line").agg(
-        F.countDistinct("doc_id").alias("n_docs_with")
+    # empty lines (separator runs / leading+trailing seps) never enter
+    # the frequency table: flagging '' as boilerplate would silently
+    # collapse separator runs in the rebuilt clean_text
+    line_df = (
+        lines.filter(F.col("line") != "")
+        .groupBy(host_col, "line")
+        .agg(F.countDistinct("doc_id").alias("n_docs_with"))
     )
     boiler = (
         line_df.join(host_docs, host_col)

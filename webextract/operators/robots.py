@@ -166,8 +166,14 @@ def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
     beats ``disallow`` on equal length (RFC 9309 §2.4.2), no matching
     rule means allowed. Rules honor the two §2.2.3 metacharacters:
     ``*`` matches any octet run and a trailing ``$`` anchors at
-    end-of-path; wildcard-free rules take the cheap ``startswith``
+    end-of-target; wildcard-free rules take the cheap ``startswith``
     path (no regex evaluated for the common case).
+
+    The match target is the URL's path PLUS its ``?query`` when one is
+    present (RFC 9309 §2.2.2 matches against path and query together;
+    the ``#fragment`` is excluded) — so the common real-world rule
+    ``Disallow: /*?sessionid=`` actually blocks session-id URLs
+    instead of silently never matching anything.
 
     The rule table is collapsed to ONE array-of-rules row per host
     (with each rule's match regex precomputed on that tiny side) and
@@ -179,10 +185,13 @@ def robots_verdict(pages: DataFrame, rules: DataFrame) -> DataFrame:
     'disallow'), path asc.
     """
     path = F.regexp_extract(F.col("url"), r"^https?://[^/?#]+(/[^?#]*)?", 1)
+    query = F.regexp_extract(F.col("url"), r"^https?://[^?#]*(\?[^#]*)", 1)
     target = pages.select(
         "url",
         host_of(F.col("url")).alias("host"),
-        F.when(path == "", "/").otherwise(path).alias("path_t"),
+        F.concat(F.when(path == "", "/").otherwise(path), query).alias(
+            "path_t"
+        ),
     )
     # translate each rule path to a regex on the TINY rules side:
     # strip a trailing '$' (anchor), escape regex metachars, '*'→'.*'

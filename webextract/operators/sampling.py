@@ -75,6 +75,67 @@ def host_quota(
     )
 
 
+def _stream_offsets(rows: DataFrame, id_col: str) -> DataFrame:
+    """Distributed prefix sum of ``n_tokens`` along each shard's
+    ``id`` order → input columns + ``end_tok`` (the running total
+    INCLUDING the row). The scalable replacement for
+    ``sum() OVER (PARTITION BY shard ORDER BY id)`` — which puts an
+    entire shard into one task's sort:
+
+     1. range-exchange on ``(shard, id)``: every shard's stream is
+        split into contiguous runs, one per output partition, with
+        run boundaries chosen by Spark's range sampler (so a skewed
+        shard still splits evenly). Concatenating the runs in
+        partition-id order IS the shard's total order — the property
+        that makes the two-phase sum exact for ANY boundary placement,
+        which is also why the sampling's nondeterminism never reaches
+        the result.
+     2. per-(shard, run) token totals roll up into an offsets table of
+        at most shards × parallelism rows (a window over ≤parallelism
+        tiny rows per shard), broadcast back.
+     3. each row's end_tok = its run's starting offset + a cumulative
+        sum windowed over its OWN run only.
+
+    The ranged rows feed two plan branches (the totals and the local
+    window), so they are localCheckpointed once: the range sampler
+    must not re-draw boundaries per branch — consistent ``_p`` between
+    branches is a correctness requirement, not a perf nicety.
+    """
+    ranged = (
+        rows.repartitionByRange(F.col("shard"), F.col(id_col))
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    run = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_p").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("shard", "_p")
+        .agg(F.sum("n_tokens").alias("_n"))
+        .select(
+            F.col("shard").alias("_os"),
+            F.col("_p").alias("_op"),
+            F.coalesce(F.sum("_n").over(run), F.lit(0)).alias("_off"),
+        )
+    )
+    local = (
+        Window.partitionBy("shard", "_p")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("_cum", F.sum("n_tokens").over(local))
+        .join(
+            F.broadcast(offsets),
+            (F.col("shard") == F.col("_os")) & (F.col("_p") == F.col("_op")),
+        )
+        .withColumn("end_tok", F.col("_off") + F.col("_cum"))
+        .drop("_p", "_cum", "_os", "_op", "_off")
+    )
+
+
 def pack_chunks(
     docs: DataFrame,
     ctx: int = 2048,
@@ -95,28 +156,29 @@ def pack_chunks(
 
     Scale design: a single global concatenation order would serialize
     the prefix-sum on one reducer — the one window shape that cannot
-    scale. Real packers write per-shard streams, so the shard IS the
-    semantic unit: ``shard = doc_id % n_shards`` (deterministic, no
-    data motion decides membership), the running token offset is a
-    cumulative sum windowed PER SHARD (parallelism = ``n_shards``;
-    size it to a few × cluster cores at deployment), and chunk ids are
-    pure arithmetic on the offsets inside codegen. One exchange on
-    ``shard`` total. Token count is the whitespace tokenization shared
-    with ``textstats`` (mirrored verbatim by the oracle).
+    scale — and even the per-shard window puts 1/``n_shards`` of the
+    corpus into ONE task's sort (tens of GB per task at 10^12 docs).
+    The running offset is therefore a distributed two-phase prefix sum
+    (:func:`_stream_offsets`, the same partial-sums-plus-broadcast-
+    offsets pattern as :func:`fetch_waves`): a range exchange on
+    ``(shard, doc_id)`` splits every shard's stream into contiguous,
+    sampling-balanced runs, per-run token totals roll up into a tiny
+    broadcast offset table, and each run windows only its own rows.
+    Parallelism = the full shuffle width regardless of ``n_shards``;
+    no task ever sorts more than ~corpus/parallelism rows, skew-
+    balanced by the range sampler. Chunk ids are pure arithmetic on
+    the offsets inside codegen. Token count is the whitespace
+    tokenization shared with ``textstats`` (mirrored verbatim by the
+    oracle — which states the semantics as the naive per-shard
+    window; equality proves the two-phase enumeration exact).
     """
     doc_id = F.col(id_col)
     shard = F.pmod(doc_id, F.lit(n_shards))
     n_tokens = F.size(F.split(F.col(text_col), " "))
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(doc_id.asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = _stream_offsets(
+        docs.select(doc_id, shard.alias("shard"), n_tokens.alias("n_tokens")),
+        id_col,
     )
-    staged = docs.select(
-        doc_id,
-        shard.alias("shard"),
-        n_tokens.alias("n_tokens"),
-    ).withColumn("end_tok", F.sum("n_tokens").over(w))
     start = F.col("end_tok") - F.col("n_tokens")
     return staged.select(
         id_col,
@@ -317,28 +379,24 @@ def chunk_texts(
     stream order. The final chunk of a shard is partial
     (``n_tokens < ctx``); trainers pad or drop it.
 
-    Same scale shape as the layout pass: the prefix sum windows PER
-    SHARD, each doc explodes into only the chunks it overlaps
-    (``first..last`` — bounded by doc length), and the chunk rebuild
-    is one groupBy on (shard, chunk) whose pieces are ordered by
-    ``start_tok`` in-row (array_sort of (start, piece) structs) —
-    deterministic without a sort exchange. One scan of the corpus,
-    two exchanges (shard window, chunk groupBy).
+    Same scale shape as the layout pass: the prefix sum is the
+    distributed two-phase :func:`_stream_offsets` (range-split runs +
+    broadcast offsets — no whole-shard sort in any task), each doc
+    explodes into only the chunks it overlaps (``first..last`` —
+    bounded by doc length), and the chunk rebuild is one groupBy on
+    (shard, chunk) whose pieces are ordered by ``start_tok`` in-row
+    (array_sort of (start, piece) structs) — deterministic without a
+    sort exchange.
     """
     doc_id = F.col(id_col)
     shard = F.pmod(doc_id, F.lit(n_shards))
     toks = F.split(F.col(text_col), " ")
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    staged = (
-        docs.select(doc_id, shard.alias("shard"), toks.alias("t"))
-        .withColumn("n_tokens", F.size("t"))
-        .withColumn("end_tok", F.sum("n_tokens").over(w))
-        .withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
-    )
+    staged = _stream_offsets(
+        docs.select(doc_id, shard.alias("shard"), toks.alias("t")).withColumn(
+            "n_tokens", F.size("t")
+        ),
+        id_col,
+    ).withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
     ex = staged.select(
         "shard",
         "start_tok",

@@ -218,16 +218,24 @@ def crawl_diff(
     work.
     """
     n = new.select(
-        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("fp_new")
+        F.col(url_col).alias("url"),
+        F.md5(F.col(text_col)).alias("fp_new"),
+        F.lit(True).alias("in_new"),
     )
     o = old.select(
-        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("fp_old")
+        F.col(url_col).alias("url"),
+        F.md5(F.col(text_col)).alias("fp_old"),
+        F.lit(True).alias("in_old"),
     )
+    # presence is decided by which SIDE produced the row, never by
+    # fingerprint null-ness: a url present in both crawls with NULL
+    # text on one side has a NULL fp but is still 'changed', not
+    # 'new'/'deleted' (null-safe fp equality covers both-NULL)
     fp_new, fp_old = F.col("fp_new"), F.col("fp_old")
     status = (
-        F.when(fp_old.isNull(), F.lit("new"))
-        .when(fp_new.isNull(), F.lit("deleted"))
-        .when(fp_new == fp_old, F.lit("unchanged"))
+        F.when(F.col("in_old").isNull(), F.lit("new"))
+        .when(F.col("in_new").isNull(), F.lit("deleted"))
+        .when(fp_new.eqNullSafe(fp_old), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return n.join(o, "url", "full_outer").select(

@@ -238,7 +238,14 @@ def run_extraction_iceberg(
         for r in spark.sql(f"SELECT snapshot_id FROM {table}.snapshots").collect()
     }
     for rec in log.entries():
-        if rec.get("iceberg_snapshot_id") not in known:
+        if "iceberg_snapshot_id" not in rec:
+            raise RuntimeError(
+                f"snapshot log entry for bucket {rec.get('bucket')} was "
+                "committed by the parquet path (no iceberg_snapshot_id) — "
+                "mixed commit paths in one output_dir; resume with "
+                "run_extraction or restart from a clean output_dir"
+            )
+        if rec["iceberg_snapshot_id"] not in known:
             raise RuntimeError(
                 f"snapshot {rec.get('iceberg_snapshot_id')} in the log is "
                 f"missing from {table}.snapshots — table was rewritten; "
