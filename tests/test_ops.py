@@ -240,6 +240,48 @@ def test_wide_sketch_uses_long_bits(spark):
         similarity.lsh_sketch(df, 8, n_planes=63)
 
 
+def test_semdedup_lists_derive_from_corpus_stat(spark):
+    """The SAFE default is derived, not documented: n_lists from
+    expected_n keeps the within-cluster pair-join input (Σ cluster²)
+    ~linear as the corpus grows — and the derivation hits the paper's
+    ratio at the paper's scale."""
+    from pyspark.ml.functions import vector_to_array  # noqa: F401
+
+    assert similarity.lists_for_corpus(5 * 10**8) == 50_000  # LAION paper
+    assert similarity.lists_for_corpus(10**12) == 10**8
+    assert similarity.lists_for_corpus(10) == 2  # tiny-corpus floor
+    # empirical: 4× corpus with derived lists → pair-join input grows
+    # ~4× (a FIXED n_lists would grow it ~16×). target scaled down to
+    # fixture size; the derivation formula is what's under test.
+    dim, target = 8, 50
+    grow = {}
+    for n in (400, 1600):
+        df = _rand_emb(spark, n, dim, seed=11)
+        k = similarity.lists_for_corpus(n, target_cluster=target)
+        assigned, _ = similarity.ivf_assign(df, dim, n_lists=k)
+        sizes = [r.c for r in assigned.groupBy("list_id").count()
+                 .withColumnRenamed("count", "c").collect()]
+        grow[n] = sum(c * c for c in sizes)
+    ratio = grow[1600] / max(grow[400], 1)
+    assert ratio < 9, f"pair-join input grew {ratio}x — looks quadratic"
+
+
+def test_semdedup_expected_n_wires_the_derivation(spark):
+    """semdedup(expected_n=...) must route through lists_for_corpus
+    (no runtime count pass) and still dedup the planted pair."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in
+           similarity.semdedup(df, 4, threshold=0.99, expected_n=4).collect()}
+    assert out[1].is_keeper and not out[2].is_keeper
+    assert out[2].group_id == 1
+
+
 def test_banded_near_dup_recall_survives_wide_sketch(spark):
     """Banding the sketch (simhash-style) keeps recall as planes grow:
     every pair the monolithic bucket finds is still found, and noisy
@@ -277,6 +319,86 @@ def test_banded_near_dup_recall_survives_wide_sketch(spark):
     assert len(banded) >= 0.9 * n_dups
     with pytest.raises(ValueError):
         similarity.embedding_near_dup_pairs(df, dim, n_planes=10, n_bands=3)
+
+
+# -- span / table eval metrics ----------------------------------------------
+
+def test_span_eval_known_values(spark):
+    """Hand-checkable det-IoU analog: 3 pred vs 3 gold spans on one
+    url — one exact match, one partial overlap above the bar, one
+    below it; plus an unmatched span on each side."""
+    from webextract.operators.metrics import span_eval
+
+    pred = spark.createDataFrame(
+        [
+            ("u", 0, 10),     # exact match
+            ("u", 20, 30),    # overlap [24,30) = 6, union 14 → IoU 3/7 < 1/2
+            ("u", 50, 60),    # no gold → false positive
+            ("v", 0, 8),      # overlap [2,8) = 6, union 10 → IoU 3/5 ≥ 1/2
+        ],
+        ["url", "start", "end"],
+    )
+    gold = spark.createDataFrame(
+        [
+            ("u", 0, 10),
+            ("u", 24, 34),
+            ("u", 80, 90),    # never predicted → recall miss
+            ("v", 2, 12),
+        ],
+        ["url", "start", "end"],
+    )
+    row = span_eval(pred, gold).first()
+    assert row.n_pred == 4 and row.n_gold == 4
+    assert row.n_pred_matched == 2 and row.n_gold_matched == 2
+    assert row.prec == 0.5 and row.recall == 0.5 and row.hmean == 0.5
+
+
+def test_span_eval_boundary_is_exact_integer(spark):
+    """IoU exactly 1/2 must MATCH (≥, decided as 2·inter ≥ union in
+    ints): spans [0,10) and [5,15) → inter 5, union 15 → 1/3 no;
+    [0,10) vs [0,5): inter 5, union 10 → exactly 1/2 yes."""
+    from webextract.operators.metrics import span_eval
+
+    pred = spark.createDataFrame([("u", 0, 10)], ["url", "start", "end"])
+    gold = spark.createDataFrame([("u", 0, 5)], ["url", "start", "end"])
+    assert span_eval(pred, gold).first().n_gold_matched == 1
+    gold2 = spark.createDataFrame([("u", 5, 15)], ["url", "start", "end"])
+    assert span_eval(pred, gold2).first().n_gold_matched == 0
+
+
+def test_span_eval_zero_match_corpus(spark):
+    from webextract.operators.metrics import span_eval
+
+    pred = spark.createDataFrame([("u", 0, 5)], ["url", "start", "end"])
+    gold = spark.createDataFrame([("u", 90, 95)], ["url", "start", "end"])
+    row = span_eval(pred, gold).first()
+    assert row.prec == 0.0 and row.recall == 0.0 and row.hmean == 0.0
+
+
+def test_table_similarity_known_values(spark):
+    """TEDS-lite Dice: table A perfect (1.0); table B has 4 pred
+    cells vs 3 gold with 2 agreeing → 2·2/(4+3) = 4/7."""
+    from webextract.operators.metrics import table_similarity
+
+    pred = spark.createDataFrame(
+        [
+            ("a", 0, 0, 0, "x"), ("a", 0, 0, 1, "y"),
+            ("b", 0, 0, 0, "p"), ("b", 0, 0, 1, "q"),
+            ("b", 0, 1, 0, "r"), ("b", 0, 1, 1, "s"),
+        ],
+        ["url", "table_id", "row_id", "col_id", "cell_text"],
+    )
+    gold = spark.createDataFrame(
+        [
+            ("a", 0, 0, 0, "x"), ("a", 0, 0, 1, "y"),
+            ("b", 0, 0, 0, "p"), ("b", 0, 0, 1, "WRONG"),
+            ("b", 0, 1, 0, "r"),
+        ],
+        ["url", "table_id", "row_id", "col_id", "cell_text"],
+    )
+    row = table_similarity(pred, gold).first()
+    assert row.n_tables == 2 and row.n_perfect == 1
+    assert abs(row.mean_similarity - (1.0 + 4 / 7) / 2) < 1e-6
 
 
 # -- textstats --------------------------------------------------------------
@@ -546,6 +668,43 @@ def test_synth_wav_roundtrip(spark, docs):
         | (F.col("bits") != 16)
     ).count()
     assert bad == 0
+
+
+def test_synth_video_is_spec_correct_avi(spark):
+    """Cross-validate the JVM-built AVI bytes against an independent
+    struct parse (the WAV-vs-stdlib treatment): RIFF framing, LIST
+    sizes, and every consumed MainAVIHeader field round-trip."""
+    import struct
+
+    docs = spark.createDataFrame(
+        [(3, "hello avi"), (4, "x")], ["doc_id", "text"]
+    )
+    rows = {r.media_id: bytes(r.payload)
+            for r in multimodal.synth_video(docs).collect()}
+    for doc_id, b in rows.items():
+        data = ("hello avi" if doc_id == 3 else "x").encode()
+        assert b[0:4] == b"RIFF" and b[8:12] == b"AVI "
+        assert struct.unpack("<I", b[4:8])[0] == len(b) - 8  # RIFF size
+        assert b[12:16] == b"LIST" and b[20:24] == b"hdrl"
+        assert struct.unpack("<I", b[16:20])[0] == 68
+        assert b[24:28] == b"avih"
+        cb, uspf = struct.unpack("<II", b[28:36])
+        assert cb == 56
+        fps = doc_id % 2 * 15 + 25
+        assert uspf == 1_000_000 // fps
+        total, initial, streams = struct.unpack("<III", b[48:60])
+        assert total == doc_id % 40 + 10 and initial == 0 and streams == 1
+        w, h = struct.unpack("<II", b[64:72])
+        assert (w, h) == ((doc_id % 3 + 1) * 320, (doc_id % 3 + 1) * 180)
+        assert b[88:92] == b"LIST" and b[96:100] == b"movi"
+        assert struct.unpack("<I", b[92:96])[0] == len(data) + 4
+        assert b[100:] == data
+    # non-AVI payloads never reach the fan-out
+    junk = spark.createDataFrame(
+        [(9, b"RIFFxxxxWAVE" + b"\x00" * 90, "audio/wav")],
+        ["media_id", "payload", "mime"],
+    )
+    assert multimodal.sample_frames(junk).count() == 0
 
 
 def test_frame_sampling(spark, docs):

@@ -379,38 +379,74 @@ def wav_metadata(media: DataFrame) -> DataFrame:
 
 
 def synth_video(docs: DataFrame) -> DataFrame:
-    """Deterministic fake video containers: ``b"VID!" + n_frames(4 BE)
-    + fps(2 BE) + data``. The container format is synthetic (no real
-    video codec exists in this sandbox) but the plumbing — header peek,
-    frame fan-out, per-frame stage — is the real pattern."""
+    """Deterministic REAL AVI containers (the video analog of
+    :func:`synth_wav`): a spec-correct RIFF/AVI layout — ``RIFF`` size
+    ``AVI `` + a ``LIST hdrl`` holding the 56-byte ``avih`` main
+    header (microseconds-per-frame, total frames, stream count,
+    width/height, all little-endian) + a ``LIST movi`` carrying the
+    doc text as stand-in stream data. Every field is the public
+    MainAVIHeader byte layout; pure JVM byte-building, no codec
+    needed. fps is stored the way AVI really stores it —
+    ``dwMicroSecPerFrame = 10^6 / fps`` — using fps values (25/40)
+    that divide 10^6 so the round-trip is exact integer arithmetic
+    (SQL-statable)."""
     doc_id = F.col("doc_id")
     n_frames = (doc_id % 40 + 10).cast("int")
-    fps = (doc_id % 2 * 5 + 25).cast("int")   # 25 or 30
+    fps = (doc_id % 2 * 15 + 25).cast("int")          # 25 or 40
+    uspf = (F.lit(1_000_000) / fps).cast("int")       # exact: fps | 10^6
+    scale = (doc_id % 3 + 1).cast("int")
+    width, height = scale * 320, scale * 180
+    zero4 = _le_bytes(F.lit(0), 4)
+    data = F.encode(F.col("text"), "UTF-8")
+    data_len = F.length(data)
     payload = F.concat(
-        F.lit(b"VID!"),
-        F.unhex(F.lpad(F.hex(n_frames), 8, "0")),
-        F.unhex(F.lpad(F.hex(fps), 4, "0")),
-        F.encode(F.col("text"), "UTF-8"),
+        F.lit(b"RIFF"), _le_bytes(data_len + 92, 4), F.lit(b"AVI "),
+        F.lit(b"LIST"), _le_bytes(F.lit(68), 4), F.lit(b"hdrl"),
+        F.lit(b"avih"), _le_bytes(F.lit(56), 4),
+        _le_bytes(uspf, 4),                # dwMicroSecPerFrame
+        zero4,                             # dwMaxBytesPerSec
+        zero4,                             # dwPaddingGranularity
+        zero4,                             # dwFlags
+        _le_bytes(n_frames, 4),            # dwTotalFrames
+        zero4,                             # dwInitialFrames
+        _le_bytes(F.lit(1), 4),            # dwStreams
+        zero4,                             # dwSuggestedBufferSize
+        _le_bytes(width, 4),               # dwWidth
+        _le_bytes(height, 4),              # dwHeight
+        zero4, zero4, zero4, zero4,        # dwReserved[4]
+        F.lit(b"LIST"), _le_bytes(data_len + 4, 4), F.lit(b"movi"),
+        data,
     )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
-        F.lit("video/x-fake").alias("mime"),
+        F.lit("video/x-msvideo").alias("mime"),
     )
 
 
 def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     """Frame sampling for video columns: keep every k-th frame (frame 0
     always included) plus the frame's timestamp from the container fps.
-    Header peek + ``explode(sequence(...))`` all JVM-side — the frame
-    DECODE would be the downstream Arrow stage (codec-gated, like
-    ``resize_media``); the sampling fan-out itself never leaves
+    REAL RIFF/AVI header peek (magic + LIST/avih walk at their fixed
+    offsets, little-endian field math — the video sibling of
+    :func:`wav_metadata`) + ``explode(sequence(...))`` all JVM-side —
+    the frame DECODE would be the downstream Arrow stage (codec-gated,
+    like ``resize_media``); the sampling fan-out itself never leaves
     codegen. At scale this is the video analog of ``explode_pages``:
-    cheap metadata peek → bounded fan-out → per-frame UDF."""
-    n_frames = F.conv(F.hex(F.substring(F.col("payload"), 5, 4)), 16, 10).cast("int")
-    fps = F.conv(F.hex(F.substring(F.col("payload"), 9, 2)), 16, 10).cast("int")
+    cheap metadata peek → bounded fan-out → per-frame UDF. fps comes
+    back as ``10^6 div dwMicroSecPerFrame`` — exact for the integer
+    rates real muxers write."""
+    p = F.col("payload")
+    is_avi = (
+        (F.substring(p, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(p, 9, 4) == F.lit(b"AVI "))
+        & (F.substring(p, 25, 4) == F.lit(b"avih"))
+    )
+    n_frames = _le_at(p, 49, 4).cast("int")           # dwTotalFrames
+    uspf = _le_at(p, 33, 4)                           # dwMicroSecPerFrame
+    fps = (F.lit(1_000_000) / uspf).cast("int")
     return (
-        media.filter(F.substring(F.col("payload"), 1, 4) == F.lit(b"VID!"))
+        media.filter(is_avi)
         .select(
             "media_id",
             n_frames.alias("n_frames"),

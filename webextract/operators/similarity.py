@@ -132,19 +132,44 @@ def make_queries(emb: DataFrame, n: int = 10) ->  DataFrame:
     return q.withColumn("q_norm", F.sqrt(_dot(F.col("q_embedding"), F.col("q_embedding"))))
 
 
+# embedding components are quantized as floor(x * 2^QUANT_BITS) before
+# the sign test — an EXACT, engine-portable operation (a float32 value
+# is exactly representable as a double; multiplying by a power of two
+# only shifts the exponent; floor of a double is fully specified), so
+# the sketch is pure BIGINT arithmetic both here and in ANSI SQL.
+QUANT_BITS = 20
+# integer hyperplane coefficients live in [-PLANE_SPAN, PLANE_SPAN]:
+# small enough to state as SQL literals and to keep the quantized dot
+# far inside int64 (|dot| ≤ dim · span · 2^QUANT_BITS · max|x|), dense
+# enough that the sign directions are effectively isotropic.
+PLANE_SPAN = 9
+
+
 def _planes(dim: int, n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> np.ndarray:
-    """Frozen pseudo-random hyperplanes (seeded — deterministic across
-    runs and cluster sizes)."""
+    """Frozen pseudo-random INTEGER hyperplanes (seeded — deterministic
+    across runs and cluster sizes). Integer coefficients are the
+    oracle-portability contract: with quantized components the sign of
+    each plane dot is decided in exact int64 arithmetic, so the bucket
+    of every vector is statable in ANSI SQL with these coefficients
+    embedded as literals (reference analog: the fully deterministic
+    postprocess everywhere, ppocr/postprocess/db_postprocess.py:220-246)."""
     rs = np.random.RandomState(seed)
-    return rs.standard_normal((n_planes, dim))
+    return rs.randint(-PLANE_SPAN, PLANE_SPAN + 1, size=(n_planes, dim)).astype(
+        np.int64
+    )
 
 
 def lsh_sketch(
     emb: DataFrame, dim: int, col: str = "embedding", n_planes: int = N_PLANES
 ) -> DataFrame:
-    """Sign-bit sketch: bit p = [plane_p · v > 0]. The sketch is one
-    integer per vector — the ANN bucket key at scale. ``n_planes``
-    scales with the corpus (see :func:`planes_for_corpus`).
+    """Sign-bit sketch: bit p = [plane_p · q(v) > 0] where ``q``
+    quantizes each component as ``floor(x · 2^QUANT_BITS)`` and the
+    planes are frozen small integers — the whole bucket decision is
+    exact int64 arithmetic, bit-identical across engines (which is
+    what lets the ANN bucket queries carry full SQL oracles instead of
+    rows-only checks). The sketch is one integer per vector — the ANN
+    bucket key at scale. ``n_planes`` scales with the corpus (see
+    :func:`planes_for_corpus`).
 
     Implementation: ONE vectorized Arrow-batch matmul (a Pandas UDF —
     the planes matrix rides in the closure, the batch of vectors hits
@@ -170,7 +195,8 @@ def lsh_sketch(
         if not len(v):
             return pd.Series([], dtype="int64")
         mat = np.array(v.tolist(), dtype=np.float64)
-        bits = (mat @ planes_t) > 0
+        q = np.floor(mat * float(1 << QUANT_BITS)).astype(np.int64)
+        bits = (q @ planes_t) > 0
         return pd.Series(bits @ weights)
 
     return emb.withColumn("sketch", sk(F.col(col)))
@@ -469,14 +495,34 @@ def embedding_near_dup_pairs(
     )
 
 
+# SemDeDup cluster sizing: target mean vectors per k-means cluster.
+# The paper scale is ~n/10^4 clusters (50k clusters on LAION), so the
+# within-cluster self-join does ~n·target/2 pair work — linear in n.
+SEMDEDUP_TARGET_CLUSTER = 10_000
+
+
+def lists_for_corpus(
+    expected_n: int, target_cluster: int = SEMDEDUP_TARGET_CLUSTER
+) -> int:
+    """Derive SemDeDup's ``n_lists`` from the EXPECTED corpus size (a
+    catalog stat, never a runtime ``count()`` — the same contract as
+    :func:`planes_for_corpus`): enough clusters that the mean cluster
+    holds ~``target_cluster`` vectors, floored at 2 so tiny corpora
+    still partition. 10^12 vectors → 10^8 clusters at the default
+    target; the paper's 50k on ~5·10^8 LAION images is the same
+    ratio."""
+    return max(2, -(-expected_n // target_cluster))  # ceil div
+
+
 def semdedup(
     emb: DataFrame,
     dim: int,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     threshold: float = 0.95,
     train_cap: int = 100_000,
     sample_frac: float | None = None,
     km_iter: int = 5,
+    expected_n: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means partitioning — cluster the embedding
@@ -491,13 +537,16 @@ def semdedup(
     Scale shape: the k-means fit touches ≤ ``train_cap`` sampled rows
     (never a corpus count — see :func:`ivf_assign`); assignment is one
     streaming pass. Within-cluster pair work is quadratic in cluster
-    size, so ``n_lists`` is THE scale knob — grow it ~n/1e4 (the paper
-    runs 50k clusters on LAION) and, as with IVF, write the corpus
-    bucketed by ``list_id`` so each cluster's self-join reads only its
-    own files and no exchange precedes the join. Duplicate groups are
-    closed transitively with the same pointer-jumping
-    connected-components used for MinHash clusters (a dup chain may
-    span pairs), keeper = smallest vec_id.
+    size, so the cluster count is THE scale knob — and the SAFE
+    behavior is the default: pass ``expected_n`` (a catalog stat) and
+    ``n_lists`` derives from :func:`lists_for_corpus` (~n/10^4
+    clusters, the paper's ratio), keeping the self-join's input
+    ~linear in n. With neither given, a small-corpus default of 16
+    applies. As with IVF, write the corpus bucketed by ``list_id`` so
+    each cluster's self-join reads only its own files and no exchange
+    precedes the join. Duplicate groups are closed transitively with
+    the same pointer-jumping connected-components used for MinHash
+    clusters (a dup chain may span pairs), keeper = smallest vec_id.
 
     Rows-only vs the oracle by design (k-means on floats is not
     SQL-statable); correctness is pinned by planted-duplicate recall
@@ -505,6 +554,8 @@ def semdedup(
     """
     from webextract.operators.dedup import connected_components
 
+    if n_lists is None:
+        n_lists = 16 if expected_n is None else lists_for_corpus(expected_n)
     # a PARTITION is all the quantizer provides here — near-identical
     # vectors co-cluster long before k-means converges, so the fit is
     # capped at km_iter rounds (each Lloyd round is a full Spark job)

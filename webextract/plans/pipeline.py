@@ -223,6 +223,15 @@ def run_extraction_iceberg(
     wave/commit/resume machinery it shares with the parquet path
     (:func:`_bucketed_waves`, :func:`_extract_wave`, ``SnapshotLog``)
     is the tested code.
+
+    Vendoring attempts, recorded per round: no iceberg artifact exists
+    anywhere on the image (`find / -name '*iceberg*'` empty, no jar in
+    the pyspark jars dir, no ivy cache), and the sandbox has no DNS —
+    both `urllib` against repo1.maven.org and `pip download` fail with
+    name resolution errors. The commit semantics this path needs
+    (atomic append, parent-chain validation, time travel, orphan
+    vacuum) are implemented and pytest-pinned by ``SnapshotLog``
+    (plans/snapshots.py), which this function treats as the contract.
     """
     if not iceberg_available(spark):
         raise RuntimeError(
