@@ -436,13 +436,16 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query unions the corpus with scaled copies of vec_id<50 (same
     direction → near-identical sketch, cosine ≈ 1) under ids offset by
     10^6. Oracle-backed since the sign buckets went exact-integer: the
-    oracle restates the dup plant, the 12-plane quantized sketch, the
+    oracle restates the dup plant, the 24-plane quantized sketch, the
     3-band split, the band equi-join and the cosine threshold. The
-    geometry is PINNED at 12 planes / 3 bands — exactly what
-    bands_for_corpus(250) derives at the sf0.01 gate scale — because
-    the oracle's plane literals are static; production callers pass
-    ``expected_n`` and get the adaptive width (that sizing contract is
-    pinned by test_near_dup_planes_scale_linearly)."""
+    geometry is PINNED at 24 planes / 3 bands — exactly what
+    bands_for_corpus derives at the sf0.1 bench scale (the largest
+    fixture; smaller sfs just get extra band selectivity, and the
+    planted dups differ by ≤2 sketch bits so the pigeonhole recall
+    guarantee holds at every sf) — because the oracle's plane literals
+    are static; production callers pass ``expected_n`` and get the
+    adaptive width (that sizing contract is pinned by
+    test_near_dup_planes_scale_linearly)."""
     emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -450,7 +453,7 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding").unionByName(dup)
     return similarity.embedding_near_dup_pairs(
-        corpus, EMB_DIM, 0.95, n_planes=12, n_bands=3
+        corpus, EMB_DIM, 0.95, n_planes=24, n_bands=3
     ).select("vec_a", "vec_b")
 
 
@@ -2283,10 +2286,10 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                                      AS BIGINT)) AS qv
                   FROM corpus),
             sk AS (SELECT vec_id, emb,
-                   {_lsh_sketch_expr(12)} AS sketch
+                   {_lsh_sketch_expr(24)} AS sketch
                    FROM e),
             bt AS (SELECT vec_id, band_id,
-                          (sketch >> (band_id * 4)) & 15 AS bv
+                          (sketch >> (band_id * 8)) & 255 AS bv
                    FROM sk, unnest([0, 1, 2]) AS t(band_id)),
             cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                      FROM bt a JOIN bt b

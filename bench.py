@@ -118,8 +118,11 @@ def main() -> None:
         "dedup_simhash",
         "dedup_simhash_pairs",
         "sim_topk",
+        "ann_lsh",
         "emb_near_dup",
         "semdedup",
+        "span_eval",
+        "table_eval",
         "token_stats",
         "quality",
         "langid",
