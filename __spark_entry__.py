@@ -369,7 +369,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEADLINE simhash signatures: the production 64-bit width (four
     16-bit band columns — the join key layout of the banded Hamming
     dedup). A 16-bit signature saturates by pigeonhole at ≥10^6 docs;
-    the demo-width variant survives as ``simhash16_demo`` only."""
+    the demo-width variant survives test-pinned only
+    (dedup.simhash_signatures; its registry demo was pruned in r4)."""
     return dedup.simhash64_bands(_docs_spread(spark, sf_dir))
 
 
@@ -2270,8 +2271,8 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                   FROM c)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
         """,
-        # dup plant + 12-plane quantized sketch + 3-band split + band
-        # equi-join + cosine threshold, all restated
+        # dup plant + 24-plane quantized sketch + 3-band split (8 bits
+        # per band) + band equi-join + cosine threshold, all restated
         "emb_near_dup": f"""
             WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                           FROM embeddings),

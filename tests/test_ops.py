@@ -707,6 +707,35 @@ def test_synth_video_is_spec_correct_avi(spark):
     assert multimodal.sample_frames(junk).count() == 0
 
 
+def test_sample_frames_degenerate_avi_skipped_not_crashed(spark):
+    """Spec-legal but degenerate containers must be SKIPPED: a
+    dwTotalFrames=0 header (still-streaming capture) would otherwise
+    crash the stage via sequence(0, -1), and a truncated RIFF/AVI
+    must fail the length guard instead of yielding NULL-field rows."""
+    import struct
+
+    def avi(n_frames):
+        hdr = (b"RIFF" + struct.pack("<I", 92) + b"AVI "
+               + b"LIST" + struct.pack("<I", 68) + b"hdrl"
+               + b"avih" + struct.pack("<I", 56)
+               + struct.pack("<I", 40000) + b"\x00" * 12
+               + struct.pack("<I", n_frames) + b"\x00" * 4
+               + struct.pack("<I", 1) + b"\x00" * 4
+               + struct.pack("<II", 320, 180) + b"\x00" * 16
+               + b"LIST" + struct.pack("<I", 4) + b"movi")
+        return hdr
+
+    rows = [
+        (1, avi(0), "video/x-msvideo"),          # zero frames → skipped
+        (2, avi(5), "video/x-msvideo"),          # healthy → sampled
+        (3, avi(5)[:40], "video/x-msvideo"),     # truncated → skipped
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload", "mime"])
+    out = multimodal.sample_frames(df, every_k=10).collect()
+    assert {r.media_id for r in out} == {2}
+    assert [r.frame_no for r in out] == [0]
+
+
 def test_frame_sampling(spark, docs):
     frames = multimodal.sample_frames(multimodal.synth_video(docs), every_k=10)
     # frame 0 always kept; all sampled frames in range and on stride

@@ -437,16 +437,22 @@ def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     back as ``10^6 div dwMicroSecPerFrame`` — exact for the integer
     rates real muxers write."""
     p = F.col("payload")
+    # length guard before any field read (the wav_metadata rule): a
+    # truncated RIFF/AVI must be skipped, not yield NULL-field rows
     is_avi = (
-        (F.substring(p, 1, 4) == F.lit(b"RIFF"))
+        (F.length(p) >= 88)
+        & (F.substring(p, 1, 4) == F.lit(b"RIFF"))
         & (F.substring(p, 9, 4) == F.lit(b"AVI "))
         & (F.substring(p, 25, 4) == F.lit(b"avih"))
     )
     n_frames = _le_at(p, 49, 4).cast("int")           # dwTotalFrames
     uspf = _le_at(p, 33, 4)                           # dwMicroSecPerFrame
     fps = (F.lit(1_000_000) / uspf).cast("int")
+    # dwTotalFrames = 0 is spec-legal (header-only / still-streaming
+    # capture): zero frames sampled, NOT a sequence(0, -1) crash
     return (
         media.filter(is_avi)
+        .filter(n_frames >= 1)
         .select(
             "media_id",
             n_frames.alias("n_frames"),

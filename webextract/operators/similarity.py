@@ -432,18 +432,22 @@ def embedding_near_dup_pairs(
         sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
             F.col("a.norm") * F.col("b.norm")
         )
+        # threshold the RAW cosine (rounding before the compare would
+        # shift the decision boundary by up to 5e-7 — the repo-wide
+        # "never round() before comparing" portability rule); the
+        # rounded value is display-only
         return (
             a.join(
                 b,
                 (F.col("a.sketch") == F.col("b.sketch"))
                 & (F.col("a.vec_id") < F.col("b.vec_id")),
             )
+            .filter(sim >= threshold)
             .select(
                 F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
                 F.round(sim, 6).alias("sim"),
             )
-            .filter(F.col("sim") >= threshold)
         )
     # banded: the candidate join shuffles only (vec_id, band_id, bits)
     # rows — 16 bytes, not embedding arrays (the simhash-pairs shape);
@@ -487,11 +491,13 @@ def embedding_near_dup_pairs(
     sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
         F.col("norm_a") * F.col("norm_b")
     )
+    # raw-cosine threshold, rounded value display-only (see the
+    # single-bucket branch)
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
+        .filter(sim >= threshold)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= threshold)
     )
 
 
