@@ -1430,6 +1430,16 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, every_k=10)
 
 
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/AVI header decode (the video sibling of audio_meta):
+    spec-correct containers built JVM-side, every consumed avih field
+    recovered by little-endian byte math in codegen. The oracle states
+    the planted frame/fps/dimension arithmetic as ground truth —
+    duration is one IEEE division of exact ints."""
+    media = multimodal.synth_video(_docs(spark, sf_dir))
+    return multimodal.avi_metadata(media)
+
+
 def q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline: synthesize pages → extract
     main content → fingerprint the EXTRACTED text → exact-dedup survey.
@@ -1646,7 +1656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_txt": q_robots_txt,
         "crawl_frontier": q_crawl_frontier,
         "fetch_schedule": q_fetch_schedule,
-        # -- rows-only, re-recorded inside the window --
+        "video_meta": q_video_meta,
+        # -- rows-only, re-recorded at the window edge (ann_ivf in,
+        # semdedup first out at position 51) --
         "ann_ivf": q_ann_ivf,
         "semdedup": q_semdedup,
         # ---- position 51+: unchanged and driver-green since r2/r3 ----
@@ -3189,6 +3201,18 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST(octet_length(encode(text)) AS DOUBLE)
                      / CAST((doc_id % 6 + 1) * 8000 * (doc_id % 2 + 1) * 2
                             AS DOUBLE) AS duration_sec,
+                   true AS ok
+            FROM documents
+        """,
+        "video_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(doc_id % 40 + 10 AS INTEGER) AS n_frames,
+                   CAST(doc_id % 2 * 15 + 25 AS INTEGER) AS fps,
+                   CAST((doc_id % 3 + 1) * 320 AS INTEGER) AS width,
+                   CAST((doc_id % 3 + 1) * 180 AS INTEGER) AS height,
+                   CAST((doc_id % 40 + 10)
+                        * (1000000 // (doc_id % 2 * 15 + 25)) AS DOUBLE)
+                       / 1000000e0 AS duration_sec,
                    true AS ok
             FROM documents
         """,

@@ -135,6 +135,7 @@ def main() -> None:
         "events_sessions",
         "media_decode",
         "audio_meta",
+        "video_meta",
         "frame_sample",
         "host_graph",
         "anchor_texts",

@@ -707,6 +707,24 @@ def test_synth_video_is_spec_correct_avi(spark):
     assert multimodal.sample_frames(junk).count() == 0
 
 
+def test_avi_metadata_fields_and_junk_flag(spark):
+    """avi_metadata recovers every consumed avih field and flags
+    non-AVI / truncated payloads ok=false with NULL fields."""
+    docs = spark.createDataFrame([(7, "payload text")], ["doc_id", "text"])
+    good = multimodal.avi_metadata(multimodal.synth_video(docs)).first()
+    assert good.ok and good.n_frames == 7 % 40 + 10
+    assert good.fps == 40 and good.width == 640 and good.height == 360
+    assert good.duration_sec == good.n_frames * 25000 / 1_000_000
+    junk = spark.createDataFrame(
+        [(1, b"RIFFxxxxWAVE" + b"\x00" * 90, "audio/wav"),
+         (2, b"RIFF", "video/x-msvideo")],
+        ["media_id", "payload", "mime"],
+    )
+    rows = {r.media_id: r for r in multimodal.avi_metadata(junk).collect()}
+    assert not rows[1].ok and rows[1].n_frames is None
+    assert not rows[2].ok and rows[2].duration_sec is None
+
+
 def test_sample_frames_degenerate_avi_skipped_not_crashed(spark):
     """Spec-legal but degenerate containers must be SKIPPED: a
     dwTotalFrames=0 header (still-streaming capture) would otherwise

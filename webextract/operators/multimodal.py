@@ -424,6 +424,42 @@ def synth_video(docs: DataFrame) -> DataFrame:
     )
 
 
+def avi_metadata(media: DataFrame) -> DataFrame:
+    """REAL RIFF/AVI header decode, 100% JVM-side — the video sibling
+    of :func:`wav_metadata`: magic + LIST/avih walk at their fixed
+    offsets, little-endian field math with substring/hex/conv, no
+    Python worker. Returns (media_id, n_frames, fps, width, height,
+    duration_sec, ok); non-AVI or truncated payloads get ok=false
+    with NULL fields. fps = 10^6 div dwMicroSecPerFrame (exact for
+    the integer rates real muxers write); duration =
+    n_frames·µspf / 10^6 — the numerator is exact integer arithmetic,
+    so the one IEEE division is oracle-portable."""
+    p = F.col("payload")
+    is_avi = (
+        (F.length(p) >= 88)
+        & (F.substring(p, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(p, 9, 4) == F.lit(b"AVI "))
+        & (F.substring(p, 25, 4) == F.lit(b"avih"))
+    )
+    uspf = _le_at(p, 33, 4)                           # dwMicroSecPerFrame
+    n_frames = _le_at(p, 49, 4).cast("int")           # dwTotalFrames
+    width = _le_at(p, 65, 4).cast("int")              # dwWidth
+    height = _le_at(p, 69, 4).cast("int")             # dwHeight
+    fps = (F.lit(1_000_000) / uspf).cast("int")
+    duration = (n_frames.cast("long") * uspf).cast("double") / F.lit(
+        1_000_000.0
+    )
+    return media.select(
+        "media_id",
+        F.when(is_avi, n_frames).alias("n_frames"),
+        F.when(is_avi, fps).alias("fps"),
+        F.when(is_avi, width).alias("width"),
+        F.when(is_avi, height).alias("height"),
+        F.when(is_avi, duration).alias("duration_sec"),
+        is_avi.alias("ok"),
+    )
+
+
 def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     """Frame sampling for video columns: keep every k-th frame (frame 0
     always included) plus the frame's timestamp from the container fps.
