@@ -108,6 +108,8 @@ def main() -> None:
         "ngram_counts",
         "inverted_index",
         "tfidf_keywords",
+        "bpe_merges",
+        "bpe_vocab",
         "bm25",
         "blocklist",
         "page_meta",

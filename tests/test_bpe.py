@@ -1,0 +1,168 @@
+"""BPE merge learning (operators/bpe.py) — the tokenizer-training op.
+
+The q:bpe_merges / q:bpe_vocab oracles pin the full iteration chain
+against an unrolled recursive-CTE restatement at sf0.01; these tests
+pin the algorithm itself against a plain-Python Sennrich reference
+(get_stats / merge) on small corpora, plus the greedy-application
+equivalence the oracle's fixpoint-replace argument relies on.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from webextract.operators.bpe import bpe_learn, bpe_vocab
+
+
+def _ref_word_freq(texts):
+    import re
+    from collections import Counter
+
+    freq = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            freq[" ".join(w)] += 1
+    return dict(freq)
+
+
+def _ref_stats(vocab):
+    from collections import Counter
+
+    stats = Counter()
+    for syms, cnt in vocab.items():
+        parts = syms.split(" ")
+        for a, b in zip(parts, parts[1:]):
+            stats[(a, b)] += cnt
+    return stats
+
+
+def _ref_merge(vocab, pair):
+    # left-to-right greedy non-overlapping, the Sennrich semantics
+    out = {}
+    a, b = pair
+    for syms, cnt in vocab.items():
+        parts = syms.split(" ")
+        merged, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(parts[i])
+                i += 1
+        out[" ".join(merged)] = cnt
+    return out
+
+
+def _ref_learn(texts, n_merges):
+    vocab = _ref_word_freq(texts)
+    merges = []
+    for step in range(1, n_merges + 1):
+        stats = _ref_stats(vocab)
+        if not stats:
+            break
+        # max count, ties (l, r) ascending — the frozen tie-break
+        (l, r), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, l + r, cnt))
+        vocab = _ref_merge(vocab, (l, r))
+    return merges, vocab
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_bpe_learn_matches_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the mats that the cats sat on",
+        "that cat, that hat!",
+    ]
+    expected, _ = _ref_learn(texts, 6)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_cnt)
+        for r in bpe_learn(_docs(spark, texts), n_merges=6)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_learn_overlap_and_greedy():
+    # the classic traps, pinned on the reference first: overlapping
+    # pair counting ("aaaa" has 3 (a,a) positions) and left-to-right
+    # greedy application ("a a a a" -> "aa aa", not "aa a a")
+    merges, vocab = _ref_learn(["aaaa aaaa b"], 1)
+    assert merges[0][1:] == ("a", "a", "aa", 6)
+    assert "aa aa" in vocab
+
+
+def test_bpe_learn_greedy_on_spark(spark):
+    # same trap through the Spark fold
+    rows = bpe_learn(_docs(spark, ["aaaa aaaa b"]), n_merges=2).collect()
+    by_step = {r.step: r for r in sorted(rows, key=lambda r: r.step)}
+    assert (by_step[1].left_sym, by_step[1].right_sym, by_step[1].pair_cnt) == (
+        "a",
+        "a",
+        6,
+    )
+    # after "a a"->"aa", each "aaaa" is "aa aa": pair (aa, aa) count 2
+    assert (by_step[2].left_sym, by_step[2].right_sym, by_step[2].pair_cnt) == (
+        "aa",
+        "aa",
+        2,
+    )
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_bpe_learn_property(spark, words):
+    # tiny alphabet forces heavy merge collisions; the whole 4-step
+    # learning trace must match the Python reference exactly
+    texts = [" ".join(words)]
+    expected, _ = _ref_learn(texts, 4)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_cnt)
+        for r in bpe_learn(_docs(spark, texts), n_merges=4)
+        .orderBy("step")
+        .collect()
+    ]
+    # if the corpus runs dry before 4 merges, BOTH sides stop short:
+    # the reference breaks out of its loop, the Spark argmax is empty
+    # and emits no step row (and the left join leaves vocab intact)
+    assert got == expected
+
+
+def test_bpe_vocab_matches_reference(spark):
+    texts = [
+        "lower lowest newer newest wider widest",
+        "low new wide lower newer",
+    ]
+    _, vocab = _ref_learn(texts, 5)
+    from collections import Counter
+
+    totals = Counter()
+    for syms, cnt in vocab.items():
+        for s in syms.split(" "):
+            totals[s] += cnt
+    expected = sorted(
+        totals.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    expected = [
+        (i + 1, sym, n) for i, (sym, n) in enumerate(expected)
+    ]
+    got = [
+        (r.rank, r.sym, r.n_occurrences)
+        for r in bpe_vocab(_docs(spark, texts), n_merges=5, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected

@@ -222,3 +222,31 @@ def test_kie_pairs_single_arrow_stage_no_shuffle(spark):
     plan = plan_of(entrymod.q_kie_pairs(spark, SF))
     assert plan.count("MapInArrow") == 1
     assert "Exchange" not in plan
+
+
+def test_bpe_round_shapes(spark):
+    """One BPE merge round = a partial-combined pair aggregation, a
+    TakeOrderedAndProject argmax (never a global sort/window), and a
+    broadcast 1-row join into a codegen fold — no Python anywhere.
+    (bpe_learn's OUTPUT plan is checkpoint scans, so the round's
+    component plans are what must not regress.)"""
+    from webextract.operators.bpe import _apply_merge, _pair_counts, word_freq
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = word_freq(docs)
+    pairs = _pair_counts(vocab)
+    best = (
+        pairs.orderBy(
+            entrymod.F.desc("pair_cnt"),
+            entrymod.F.asc("l"),
+            entrymod.F.asc("r"),
+        ).limit(1)
+    )
+    plan = plan_of(best)
+    assert "partial_sum" in plan  # map-side combine on the pair shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    merged = _apply_merge(vocab, best)
+    mplan = plan_of(merged)
+    assert "BroadcastExchange" in mplan  # the 1-row argmax side
+    assert "BatchEvalPython" not in mplan and "ArrowEvalPython" not in mplan
