@@ -224,6 +224,35 @@ def test_kie_pairs_single_arrow_stage_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_kmeans_round_shapes(spark):
+    """Assignment is MAP-ONLY over the corpus: the k centroids
+    collapse to one broadcast row and the argmin runs in-row, so no
+    hash exchange ever touches the embeddings; the update's
+    (cluster, dim) aggregation partial-combines before its shuffle.
+    All JVM — no Python eval anywhere."""
+    from webextract.operators.kmeans import (
+        assign,
+        quantize,
+        seed_centroids,
+        update,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = quantize(emb).select("vec_id", "qv")
+    cent = seed_centroids(q, 8).localCheckpoint()
+    assigned = assign(q, cent)
+    plan = plan_of(assigned)
+    assert "BroadcastExchange" in plan
+    # the corpus side is never hash-shuffled to be assigned; the only
+    # non-broadcast exchange is the k-row centroid collect_list agg
+    scan_on = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in scan_on
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    uplan = plan_of(update(assigned, cent))
+    assert "partial_sum" in uplan
+    assert "BatchEvalPython" not in uplan and "ArrowEvalPython" not in uplan
+
+
 def test_bpe_round_shapes(spark):
     """One BPE merge round = a partial-combined pair aggregation, a
     TakeOrderedAndProject argmax (never a global sort/window), and a
