@@ -465,15 +465,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exemplar per group): the embedding-space dedup that catches
     paraphrases n-gram sketches cannot. Same planted-dup construction
     as emb_near_dup (scaled copies of vec_id<50 under offset ids).
-    Rows-only by design: k-means on floats is not SQL-statable;
-    planted recall + brute-parity pinned in test_ops.py."""
+    ORACLE-BACKED since round 4: the coarse quantizer is the
+    exact-integer Lloyd of operators/kmeans.py and the cosine
+    threshold is a rational square decided in exact integer
+    arithmetic, so the oracle restates the ENTIRE chain — unrolled
+    k-means, pair dots, HUGEINT threshold test, recursive
+    reachability — and the result hash-matches bit-for-bit. The
+    float Spark-ML variant (similarity.semdedup) remains for trained
+    quantizers, pinned by planted-recall/brute-parity tests."""
     emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(dup)
-    return similarity.semdedup(corpus, EMB_DIM, n_lists=16, threshold=0.95)
+    return similarity.semdedup_exact(corpus, EMB_DIM, k=16, n_iter=3)
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1682,7 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
         "pack_chunks": q_pack_chunks,
-        "chunk_texts": q_chunk_texts,
+        "semdedup": q_semdedup,
         "host_boiler": q_host_boiler,
         "crawl_diff": q_crawl_diff,
         "robots_txt": q_robots_txt,
@@ -1695,12 +1701,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- position 51+: just past the 50-row window edge --
         # pricing_summary and orders_by_region are double-green (r1+r2
         # driver rows) and unchanged — they ceded their window slots to
-        # bpe_vocab/kmeans_assign; ann_ivf/semdedup carry rows-only
-        # driver rows since r3 by design
+        # bpe_vocab/kmeans_assign; ann_ivf carries a rows-only driver
+        # row since r3 by design (trained float quantizer).
+        # chunk_texts ceded its slot to the newly-oracle-backed
+        # semdedup: its r3 driver row is hash-exact and the r4 rework
+        # (two-phase prefix sum) was plan-shape-only — the oracle and
+        # its results are unchanged, re-verified by the local 3-SF
+        # sweep this round.
+        "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
         "ann_ivf": q_ann_ivf,
-        "semdedup": q_semdedup,
         # ---- position 51+: unchanged and driver-green since r2/r3 ----
         "extract": q_extract,
         "extract_markdown": q_extract_markdown,
@@ -2899,6 +2910,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         "bpe_merges": _bpe_merges_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "kmeans_assign": _kmeans_sql(),
+        "semdedup": _semdedup_sql(),
         "inverted_index": f"""
             WITH g AS (SELECT doc_id,
                               unnest(regexp_extract_all(lower(text),
@@ -3381,17 +3393,20 @@ def _bpe_vocab_sql(n_merges: int = 8, k: int = 20) -> str:
 SELECT rank, sym, n_occurrences FROM r WHERE rank <= {k}"""
 
 
-def _kmeans_sql(k: int = 8, n_iter: int = 3) -> str:
+def _kmeans_ctes(k: int, n_iter: int, src: str = "embeddings") -> str:
     """Unrolled exact-integer k-means — the SQL restatement of
-    operators/kmeans.kmeans_int in long (vec_id, dim) form. ``q`` is
-    the quantized corpus (parallel unnest zips component and 1-based
-    position), ``c0`` the k smallest-vec_id seeds; per round t: d{t}
-    is every (vector, centroid) exact squared distance, a{t} the
-    argmin with the frozen (d2, cluster) tie-break, s{t}/c{t} the
-    floor-divided component means with empty clusters inheriting the
-    previous centroid (the NOT IN branch = Spark's left-join
-    coalesce). The sign CASE over ``//`` is DuckDB's statement of the
-    same floor division Spark computes via pmod + DIV."""
+    operators/kmeans.kmeans_int in long (vec_id, dim) form, returned
+    as a CTE body (shared by the kmeans_assign and semdedup oracles;
+    the final assignment lives in ``a{n_iter}``). ``q`` is the
+    quantized corpus (parallel unnest zips component and 1-based
+    position) read from ``src``, ``c0`` the k smallest-vec_id seeds;
+    per round t: d{t} is every (vector, centroid) exact squared
+    distance, a{t} the argmin with the frozen (d2, cluster) tie-break,
+    s{t}/c{t} the floor-divided component means with empty clusters
+    inheriting the previous centroid (the NOT IN branch = Spark's
+    left-join coalesce). The sign CASE over ``//`` is DuckDB's
+    statement of the same floor division Spark computes via pmod +
+    DIV."""
     its = []
     for t in range(1, n_iter + 1):
         its.append(f""",
@@ -3418,17 +3433,68 @@ def _kmeans_sql(k: int = 8, n_iter: int = 3) -> str:
            UNION ALL
            SELECT cluster, i, cx FROM c{t - 1}
            WHERE cluster NOT IN (SELECT DISTINCT cluster FROM a{t}))""")
-    return f"""WITH q AS MATERIALIZED (
+    return f"""q AS MATERIALIZED (
   SELECT vec_id, CAST(i AS INTEGER) AS i,
          CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
   FROM (SELECT vec_id, unnest(embedding) AS e,
                unnest(range(1, len(embedding) + 1)) AS i
-        FROM embeddings)),
+        FROM {src})),
   seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
            FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {k})),
   c0 AS MATERIALIZED (SELECT s.cluster, q.i, q.qx AS cx
-         FROM seed s JOIN q USING (vec_id)){"".join(its)}
+         FROM seed s JOIN q USING (vec_id)){"".join(its)}"""
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 3) -> str:
+    """kmeans_assign oracle: the shared unrolled-Lloyd CTEs over the
+    raw embeddings table, selecting the final assignment."""
+    return f"""WITH {_kmeans_ctes(k, n_iter)}
 SELECT vec_id, cluster, d2 FROM a{n_iter}"""
+
+
+def _semdedup_sql(
+    k: int = 16, n_iter: int = 3, num: int = 9025, den: int = 10_000
+) -> str:
+    """semdedup oracle: the SAME unrolled exact-integer Lloyd CTEs
+    over the planted-dup corpus, then within-cluster pair dots in
+    exact integers, the rational-square cosine test (sim ≥ t ⇔
+    dot > 0 AND dot²·den ≥ num·|a|²·|b|², t² = num/den) in HUGEINT
+    (DECIMAL(38,0) on the Spark side — identical values), recursive
+    reachability for the duplicate groups, keeper = min vec_id."""
+    return f"""WITH RECURSIVE corpus AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001e0)
+  FROM embeddings WHERE vec_id < 50),
+  {_kmeans_ctes(k, n_iter, "corpus")},
+  n2 AS MATERIALIZED (SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS n2
+        FROM q GROUP BY vec_id),
+  v AS MATERIALIZED (SELECT vec_id, cluster FROM a{n_iter}),
+  cand AS (SELECT x.vec_id AS va, y.vec_id AS vb
+           FROM v x JOIN v y
+             ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+  dots AS (SELECT c.va, c.vb, CAST(SUM(qa.qx * qb.qx) AS BIGINT) AS dot
+           FROM cand c
+           JOIN q qa ON qa.vec_id = c.va
+           JOIN q qb ON qb.vec_id = c.vb AND qb.i = qa.i
+           GROUP BY 1, 2),
+  pairs AS (SELECT d.va AS doc_a, d.vb AS doc_b
+            FROM dots d JOIN n2 na ON na.vec_id = d.va
+                        JOIN n2 nb ON nb.vec_id = d.vb
+            WHERE d.dot > 0
+              AND CAST(d.dot AS HUGEINT) * d.dot * {den}
+                  >= CAST({num} AS HUGEINT) * na.n2 * nb.n2),
+  edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+  walk(a, label) AS (SELECT DISTINCT a, a FROM edges
+                     UNION
+                     SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a),
+  comp AS (SELECT a AS vec_id, MIN(label) AS grp FROM walk GROUP BY a)
+SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS list_id,
+       COALESCE(c.grp, v.vec_id) AS group_id,
+       COALESCE(c.grp, v.vec_id) = v.vec_id AS is_keeper
+FROM v LEFT JOIN comp c USING (vec_id)"""
 
 
 def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:

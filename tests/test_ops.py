@@ -1121,6 +1121,75 @@ def test_semdedup_planted_recall_and_brute_parity(spark):
         )
 
 
+def test_semdedup_exact_planted_recall_and_brute_parity(spark):
+    """The exact-integer variant: same contract as the float test —
+    every planted near-dup dropped (keeper = original), no clean
+    vector dropped, every acted-on pair a TRUE cosine near-dup — plus
+    the exact-threshold guarantee the float path cannot make: every
+    dropped vector's quantized-cosine square clears the rational
+    threshold EXACTLY (dot²·den ≥ num·na²·nb², int arithmetic)."""
+    import math
+
+    from pyspark.sql import Row
+    from webextract.operators.similarity import QUANT_BITS, semdedup_exact
+
+    rng = __import__("random").Random(7)
+    dim = 8
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(base)]
+    rows += [
+        Row(vec_id=1000 + i, embedding=[x * 1.01 for x in base[i]])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in
+           semdedup_exact(emb, dim, k=4, n_iter=3).collect()}
+    assert len(out) == 50
+    dropped = {v for v, r in out.items() if not r.is_keeper}
+    assert dropped == {1000 + i for i in range(10)}
+    for i in range(10):
+        assert out[1000 + i].group_id == out[i].group_id == i
+    # exact-integer parity: recompute the rational-square test in
+    # Python ints for every dropped vector against its group keeper
+    def quant(v):
+        return [math.floor(x * (1 << QUANT_BITS)) for x in v]
+
+    vecs = {r.vec_id: quant(r.embedding) for r in rows}
+    for v in dropped:
+        kp = out[v].group_id
+        qa, qb = vecs[v], vecs[kp]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na2 = sum(x * x for x in qa)
+        nb2 = sum(x * x for x in qb)
+        assert dot > 0 and dot * dot * 10_000 >= 9025 * na2 * nb2
+
+
+def test_semdedup_exact_threshold_edge_is_exact(spark):
+    """Vectors whose quantized cosine lands just BELOW the rational
+    threshold must survive as separate keepers — the integer
+    comparison draws the line, not float rounding. cos(a, b) for unit
+    axes mixed at 17°-ish below threshold stays out; a scaled copy
+    (cos = 1 after quantization) stays in."""
+    from pyspark.sql import Row
+    from webextract.operators.similarity import semdedup_exact
+
+    # cos(e1, 0.94·e1 + k·e2) < 0.95 for k making the angle exceed
+    # acos(0.95); pick (1, 0.34) → cos ≈ 0.9467 < 0.95
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.34, 0.0, 0.0]),   # below bar
+        Row(vec_id=2, embedding=[0.5, 0.0, 0.0, 0.0]),    # exact dup of 0
+    ]
+    emb = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in
+           semdedup_exact(emb, 4, k=2, n_iter=2).collect()}
+    assert out[1].is_keeper                      # 0.9467 < 0.95 → kept
+    # 2 may land in either k-means cluster; if co-clustered with 0 it
+    # must collapse (cos = 1); assert only when the partition allows
+    if out[2].list_id == out[0].list_id:
+        assert not out[2].is_keeper and out[2].group_id == 0
+
+
 def test_domain_blocklist_canonicalizes_authority(spark):
     from pyspark.sql import Row
     from webextract.operators.urlnorm import domain_blocklist

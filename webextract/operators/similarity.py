@@ -601,3 +601,102 @@ def semdedup(
             ),
         )
     )
+
+
+def semdedup_exact(
+    emb: DataFrame,
+    dim: int,
+    k: int = 16,
+    n_iter: int = 3,
+    threshold_sq_num: int = 9025,
+    threshold_sq_den: int = 10_000,
+) -> DataFrame:
+    """SemDeDup with the EXACT-INTEGER coarse quantizer
+    (:func:`webextract.operators.kmeans.kmeans_int`): the same
+    partition → within-cluster cosine pairs → connected components →
+    keeper chain as :func:`semdedup`, but every arithmetic step is
+    fully specified integer math, so the whole result — cluster ids,
+    duplicate pairs, group labels, keepers — is bit-identical across
+    engines and statable as ANSI SQL. This is the oracle-backed
+    headline; the float Spark-ML variant stays for API parity with
+    trained quantizers.
+
+    The cosine threshold is stated as a RATIONAL square:
+    ``sim ≥ t`` (t > 0) holds iff ``dot > 0`` and
+    ``dot² · den ≥ num · |a|² · |b|²`` with ``t² = num/den`` — all
+    exact on the quantized components. dot ≤ dim·2^(2·QUANT_BITS)
+    (2^46 at dim 64) sits in int64; the squared comparison runs in
+    DECIMAL(38,0) here and HUGEINT in the oracle (≤ ~5·10^31, far
+    inside both). Reference analog: the deterministic postprocess
+    contract (ppocr/postprocess/db_postprocess.py:220-246) — quantize
+    first, then only exact arithmetic.
+
+    Scale shape: identical to :func:`semdedup` — map-only assignment
+    against k broadcast centroids (see kmeans.assign), one
+    localCheckpoint on the thin (vec_id, qv, cluster, n2) table
+    reused by both sides of the pair join, within-cluster equi-join
+    (k is THE scale knob; derive it from a catalog stat like
+    :func:`lists_for_corpus`), pointer-jumping components.
+    """
+    from webextract.operators import kmeans as km
+    from webextract.operators.dedup import connected_components
+
+    q = km.quantize(emb).select("vec_id", "qv")
+    assigned = km.kmeans_int(emb, k=k, n_iter=n_iter).select(
+        "vec_id", "cluster"
+    )
+    n2 = F.aggregate(
+        F.zip_with("qv", "qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sk = (
+        q.join(assigned, "vec_id")
+        .withColumn("n2", n2)
+        .localCheckpoint(eager=False)
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            dot.alias("dot"),
+            F.col("a.n2").alias("na2"),
+            F.col("b.n2").alias("nb2"),
+        )
+    )
+    dotd = F.col("dot").cast(dec)
+    pairs = cand.filter(
+        (F.col("dot") > 0)
+        & (
+            dotd * dotd * F.lit(threshold_sq_den).cast(dec)
+            >= F.lit(threshold_sq_num).cast(dec)
+            * F.col("na2").cast(dec)
+            * F.col("nb2").cast(dec)
+        )
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    lbl = comp.select("doc_id", F.col("cluster_id").alias("grp"))
+    return (
+        sk.select("vec_id", F.col("cluster").cast("long").alias("list_id"))
+        .join(lbl, sk["vec_id"] == lbl["doc_id"], "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce("grp", F.col("vec_id")).alias("group_id"),
+            (F.coalesce("grp", F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_keeper"
+            ),
+        )
+    )
