@@ -421,9 +421,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse lists, n_probe nearest lists searched).
-    Rows-only: the trained quantizer is not SQL-expressible; recall vs
-    brute force is asserted in tests/test_ops.py."""
-    return similarity.ivf_topk(_emb(spark, sf_dir), EMB_DIM, 5, 10).select(
+    ORACLE-BACKED since round 4: the coarse quantizer is the
+    exact-integer Lloyd (operators/kmeans.py) and probe selection is
+    the exact integer squared distance with the frozen (d2, cluster)
+    tie-break, so the candidate set is bit-identical across engines;
+    the ranking tail is the proven-portable float-cosine
+    rank-not-sim contract shared with sim_topk/ann_lsh. The float
+    Spark-ML IVF (similarity.ivf_topk) stays for trained quantizers,
+    pinned by recall-vs-brute tests."""
+    return similarity.ivf_topk_exact(_emb(spark, sf_dir), EMB_DIM, 5, 10).select(
         "query_id", "rank", "neighbor_id"
     )
 
@@ -1687,7 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_eval": q_table_eval,
         "ann_lsh": q_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
-        "pack_chunks": q_pack_chunks,
+        "ann_ivf": q_ann_ivf,
         "semdedup": q_semdedup,
         "host_boiler": q_host_boiler,
         "crawl_diff": q_crawl_diff,
@@ -1701,17 +1707,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- position 51+: just past the 50-row window edge --
         # pricing_summary and orders_by_region are double-green (r1+r2
         # driver rows) and unchanged — they ceded their window slots to
-        # bpe_vocab/kmeans_assign; ann_ivf carries a rows-only driver
-        # row since r3 by design (trained float quantizer).
-        # chunk_texts ceded its slot to the newly-oracle-backed
-        # semdedup: its r3 driver row is hash-exact and the r4 rework
-        # (two-phase prefix sum) was plan-shape-only — the oracle and
-        # its results are unchanged, re-verified by the local 3-SF
-        # sweep this round.
+        # bpe_vocab/kmeans_assign. pack_chunks/chunk_texts ceded theirs
+        # to the newly-oracle-backed semdedup and ann_ivf: both carry
+        # hash-exact r3 driver rows and their r4 rework (two-phase
+        # prefix sum) was plan-shape-only — oracles and results
+        # unchanged, re-verified by the local 3-SF sweep this round.
+        "pack_chunks": q_pack_chunks,
         "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
-        "ann_ivf": q_ann_ivf,
         # ---- position 51+: unchanged and driver-green since r2/r3 ----
         "extract": q_extract,
         "extract_markdown": q_extract_markdown,
@@ -2911,6 +2915,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         "bpe_vocab": _bpe_vocab_sql(),
         "kmeans_assign": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "inverted_index": f"""
             WITH g AS (SELECT doc_id,
                               unnest(regexp_extract_all(lower(text),
@@ -3450,6 +3455,49 @@ def _kmeans_sql(k: int = 8, n_iter: int = 3) -> str:
     raw embeddings table, selecting the final assignment."""
     return f"""WITH {_kmeans_ctes(k, n_iter)}
 SELECT vec_id, cluster, d2 FROM a{n_iter}"""
+
+
+def _ann_ivf_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+) -> str:
+    """ann_ivf oracle: the shared unrolled-Lloyd CTEs give the final
+    assignment a{n} AND the final centroid table c{n-1} it ran
+    against; probe selection is the exact integer d2 of each query
+    against those centroids with the frozen (d2, cluster) tie-break;
+    candidates are the probe-list members; the rank tail is the same
+    float cosine as sim_topk (rank-not-sim output)."""
+    return f"""WITH {_kmeans_ctes(n_lists, n_iter)},
+  qs AS (SELECT DISTINCT vec_id AS query_id FROM q
+         WHERE vec_id < {n_queries}),
+  pd AS (SELECT qs.query_id, c.cluster,
+                CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS d2
+         FROM qs JOIN q ON q.vec_id = qs.query_id
+         JOIN c{n_iter - 1} c ON c.i = q.i
+         GROUP BY 1, 2),
+  pr AS (SELECT query_id, cluster AS probe FROM
+           (SELECT query_id, cluster,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM pd)
+         WHERE rn <= {n_probe}),
+  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+  cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id
+           FROM pr JOIN a{n_iter} a ON a.cluster = pr.probe
+           WHERE a.vec_id <> pr.query_id),
+  s AS (SELECT c.query_id, c.neighbor_id,
+               list_cosine_similarity(ea.emb, eq.emb) AS sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.neighbor_id
+                    JOIN e eq ON eq.vec_id = c.query_id),
+  r AS (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM s)
+SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {k}"""
 
 
 def _semdedup_sql(

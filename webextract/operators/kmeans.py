@@ -154,6 +154,24 @@ def _take_cx(s: Column) -> Column:
     return s["cx"]
 
 
+def kmeans_fit(
+    emb: DataFrame, k: int = 8, n_iter: int = 3, col: str = "embedding"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the quantized-centroid Lloyd once and return the whole
+    fitted state: ``(q, assigned, cent)`` — the quantized corpus
+    (vec_id, qv), the final assignment (vec_id, qv, cluster, d2), and
+    the FINAL centroid table (cluster, cv) that assignment ran
+    against. Both convenience wrappers and the exact IVF path share
+    this so the chain is computed once."""
+    q = quantize(emb, col).select("vec_id", "qv").localCheckpoint(eager=False)
+    cent = seed_centroids(q, k).localCheckpoint()
+    assigned = assign(q, cent)
+    for _ in range(n_iter - 1):
+        cent = update(assigned, cent).localCheckpoint()
+        assigned = assign(q, cent)
+    return q, assigned, cent
+
+
 def kmeans_int(
     emb: DataFrame, k: int = 8, n_iter: int = 3, col: str = "embedding"
 ) -> DataFrame:
@@ -162,12 +180,7 @@ def kmeans_int(
     d2) under the FINAL centroids. Every step is exact integer
     arithmetic (see module docstring), so the result is bit-identical
     to the unrolled SQL restatement."""
-    q = quantize(emb, col).select("vec_id", "qv").localCheckpoint(eager=False)
-    cent = seed_centroids(q, k).localCheckpoint()
-    assigned = assign(q, cent)
-    for _ in range(n_iter - 1):
-        cent = update(assigned, cent).localCheckpoint()
-        assigned = assign(q, cent)
+    _, assigned, _ = kmeans_fit(emb, k, n_iter, col)
     return assigned.select("vec_id", "cluster", "d2")
 
 
@@ -177,8 +190,4 @@ def kmeans_centroids(
     """The FINAL centroid table (cluster, cv) the last ``kmeans_int``
     assignment ran against — the trained-quantizer artifact a 100 TB
     deployment persists and reuses across probe queries."""
-    q = quantize(emb, col).select("vec_id", "qv").localCheckpoint(eager=False)
-    cent = seed_centroids(q, k).localCheckpoint()
-    for _ in range(n_iter - 1):
-        cent = update(assign(q, cent), cent).localCheckpoint()
-    return cent
+    return kmeans_fit(emb, k, n_iter, col)[2]

@@ -700,3 +700,74 @@ def semdedup_exact(
             ),
         )
     )
+
+
+def ivf_topk_exact(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_queries: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+) -> DataFrame:
+    """IVF ANN over the EXACT-INTEGER coarse quantizer
+    (:func:`webextract.operators.kmeans.kmeans_fit`): the same
+    probe-then-rank shape as :func:`ivf_topk`, but the quantizer —
+    seeds, Lloyd rounds, assignments, centroid table — is fully
+    specified integer arithmetic, and probe selection is the exact
+    integer squared distance with the frozen (d2, cluster) tie-break.
+    The candidate set is therefore bit-identical across engines and
+    the whole query is statable as ANSI SQL (the ranking tail is the
+    same float cosine as sim_topk/ann_lsh — rank-not-sim output, the
+    proven-portable contract in :func:`_rank_topk`).
+
+    Scale shape: the centroid table is k rows → broadcast everywhere
+    it appears; probe scoring is (n_queries × k) rows; the candidate
+    join is an equi-join of the assigned corpus against the broadcast
+    probe table; the neighbor-embedding lookup is an equi-join on
+    vec_id. Nothing but the k centroids is ever driver-bound, and the
+    corpus is scanned once per Lloyd round + once to search — at
+    10^12 vectors the fit would ride a bounded sample exactly like
+    :func:`ivf_assign` (``limit(train_cap)``), the one knob this
+    fixture-scale headline omits.
+    """
+    from webextract.operators import kmeans as km
+
+    q, assigned, cent = km.kmeans_fit(emb, k=n_lists, n_iter=n_iter)
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        queries.join(F.broadcast(cent), F.lit(True), "left")
+        .withColumn("d2", d2)
+        .withColumn("crank", F.row_number().over(wp))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", F.col("cluster").alias("probe"))
+    )
+    wn = with_norm(emb)
+    qe = wn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+    )
+    pq = F.broadcast(probes.join(qe, "query_id"))
+    sim = _dot(F.col("embedding"), F.col("q_embedding")) / (
+        F.col("norm") * F.col("q_norm")
+    )
+    cand = (
+        assigned.select("vec_id", "cluster")
+        .join(pq, F.col("cluster") == F.col("probe"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(wn.select("vec_id", "embedding", "norm"), "vec_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    return _rank_topk(cand, k)
