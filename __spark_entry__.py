@@ -1453,10 +1453,24 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction from media bytes (numpy-vectorized byte
     histogram + mean per Arrow batch — the embedding-from-media
-    plumbing). Rows-only: blob-level aggregation is not portably
-    SQL-statable; invariants are pytest-pinned."""
+    plumbing). ORACLE-BACKED since round 4: synth_mixed_media builds
+    payloads as header-hex + utf-8 text bytes, both statable in SQL,
+    so the oracle reconstructs the identical byte stream in DuckDB
+    (hex string + per-byte unnest) and recomputes count / mean /
+    16-bin histogram from first principles — any disagreement in the
+    byte synthesis OR the numpy featurizer breaks the hash. The
+    histogram array is posexploded to (bin, bin_count) rows for
+    hash portability; mean_byte is exact-int sum + one IEEE division
+    on both engines (np.mean pairwise float64 partial sums stay
+    integral below 2^53)."""
     media = multimodal.synth_mixed_media(_docs(spark, sf_dir))
-    return multimodal.media_features(media)
+    feats = multimodal.media_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "mean_byte",
+        F.posexplode("byte_hist").alias("bin", "bin_count"),
+    ).withColumn("bin", F.col("bin").cast("long"))
 
 
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3174,6 +3188,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    true AS ok
             FROM documents
         """,
+        "media_features": _media_features_sql(),
         "pipeline_dedup": f"""
             WITH e AS (SELECT {_URL} AS url, {_EXTRACTED} AS text FROM documents),
             f AS (SELECT url,
@@ -3455,6 +3470,56 @@ def _kmeans_sql(k: int = 8, n_iter: int = 3) -> str:
     raw embeddings table, selecting the final assignment."""
     return f"""WITH {_kmeans_ctes(k, n_iter)}
 SELECT vec_id, cluster, d2 FROM a{n_iter}"""
+
+
+def _media_features_sql(n_bins: int = 16) -> str:
+    """media_features oracle: rebuild the EXACT payload byte stream of
+    ``synth_mixed_media`` as a hex string (header literals + planted
+    w/h arithmetic + ``hex(encode(text))``), explode one row per byte,
+    and restate count / mean / histogram from first principles. All
+    hex is parsed back through CAST('0x'||…), so engine hex-case never
+    matters; mean_byte is one IEEE division of exact integers (the
+    portability contract); absent histogram bins are restored as
+    explicit zero rows to mirror numpy ``bincount(minlength)``."""
+    shift_div = 256 // n_bins
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS r,
+         CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+         CAST(doc_id % 48 + 1 AS BIGINT) AS h,
+         hex(encode(text)) AS th
+  FROM documents),
+hx AS (
+  SELECT media_id,
+         CASE r
+           WHEN 0 THEN '494D4721' || lpad(hex(w), 8, '0')
+                       || lpad(hex(h), 8, '0')
+           WHEN 1 THEN '89504E470D0A1A0A0000000D49484452'
+                       || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0')
+                       || '080200000000000000'
+           ELSE '474946383961' || lpad(hex(w), 2, '0') || '00'
+                || lpad(hex(h), 2, '0') || '00' || '910000'
+         END || th AS fh
+  FROM m),
+sz AS (SELECT media_id, fh, CAST(length(fh) // 2 AS BIGINT) AS n_bytes
+       FROM hx),
+b AS (SELECT media_id, n_bytes, fh,
+             unnest(range(1, n_bytes + 1)) AS i
+      FROM sz),
+v AS (SELECT media_id, n_bytes,
+             CAST(('0x' || substr(fh, 2 * i - 1, 2)) AS BIGINT) AS val
+      FROM b),
+stats AS (SELECT media_id, n_bytes,
+                 CAST(CAST(SUM(val) AS BIGINT) AS DOUBLE) / n_bytes
+                   AS mean_byte
+          FROM v GROUP BY media_id, n_bytes),
+counts AS (SELECT media_id, val // {shift_div} AS bin, COUNT(*) AS c
+           FROM v GROUP BY 1, 2),
+bins AS (SELECT media_id, unnest(range(0, {n_bins})) AS bin FROM hx)
+SELECT s.media_id, s.n_bytes, s.mean_byte,
+       CAST(bins.bin AS BIGINT) AS bin,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS bin_count
+FROM bins JOIN stats s USING (media_id)
+LEFT JOIN counts c ON c.media_id = bins.media_id AND c.bin = bins.bin"""
 
 
 def _ann_ivf_sql(

@@ -122,6 +122,7 @@ def main() -> None:
         "dedup_simhash_pairs",
         "sim_topk",
         "ann_lsh",
+        "ann_ivf",
         "emb_near_dup",
         "semdedup",
         "span_eval",
@@ -137,6 +138,7 @@ def main() -> None:
         "events_hourly",
         "events_sessions",
         "media_decode",
+        "media_features",
         "audio_meta",
         "video_meta",
         "frame_sample",

@@ -177,6 +177,28 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
 
 
+def test_ivf_topk_exact_recall_and_contract(spark, emb):
+    """The exact-integer IVF (oracle-backed ann_ivf path) must be a
+    meaningful approximation of brute force AND honor the rank
+    contract (dense 1..k per query, self excluded)."""
+    q = similarity.make_queries(emb, 10)
+    brute = similarity.cosine_topk(emb, q, 5).collect()
+    ivf = similarity.ivf_topk_exact(
+        emb, 64, 5, 10, n_lists=8, n_probe=3
+    ).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(bset & iset) / len(bset) >= 0.5
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        assert all(r["neighbor_id"] != qid for r in rows)
+
+
 def test_embedding_near_dup_pairs_planted(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
