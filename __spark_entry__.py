@@ -1234,6 +1234,17 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_vocab(_docs_spread(spark, sf_dir), n_merges=8, k=20)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION over the corpus: per-document word count,
+    BPE token count under the 8-merge learned tokenizer, and the
+    tokens_per_word compression ratio (one IEEE division of exact
+    ints). The oracle reuses the unrolled learning CTEs and derives
+    the word → tokenization mapping by stripping spaces from the
+    trained vocabulary's symbol strings (merges only concatenate
+    adjacent symbols, so that inversion is exact)."""
+    return bpe.bpe_encode(_docs_spread(spark, sf_dir), n_merges=8)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting lists capped at the 16 smallest doc_ids per word via a
     pre-collection WindowGroupLimit — no unbounded collect_set."""
@@ -1677,7 +1688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "bm25": q_bm25,
         "page_meta": q_page_meta,
-        "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
         "script_stats": q_script_stats,
@@ -1717,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": q_video_meta,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_encode": q_bpe_encode,
         "kmeans_assign": q_kmeans_assign,
         # -- position 51+: just past the 50-row window edge --
         # pricing_summary and orders_by_region are double-green (r1+r2
@@ -1726,6 +1737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-exact r3 driver rows and their r4 rework (two-phase
         # prefix sum) was plan-shape-only — oracles and results
         # unchanged, re-verified by the local 3-SF sweep this round.
+        # token_stats (r2-green, unchanged) ceded its slot to the new
+        # bpe_encode.
+        "token_stats": q_token_stats,
         "pack_chunks": q_pack_chunks,
         "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
@@ -2927,6 +2941,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         """,
         "bpe_merges": _bpe_merges_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "kmeans_assign": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
         "ann_ivf": _ann_ivf_sql(),
@@ -3411,6 +3426,31 @@ def _bpe_vocab_sql(n_merges: int = 8, k: int = 20) -> str:
                (ORDER BY n_occurrences DESC, sym ASC) AS rank
         FROM tot)
 SELECT rank, sym, n_occurrences FROM r WHERE rank <= {k}"""
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """bpe_encode oracle: the learning CTEs' terminal vocabulary
+    ``v{n}`` IS the word → tokenization mapping (strip the spaces to
+    recover the word — merges only concatenate adjacent symbols), so
+    the encode pass is a word-level join + weighted sums; the
+    compression ratio is one IEEE division of exact integers."""
+    return f"""{_bpe_ctes(n_merges)},
+  map AS (SELECT replace(syms, ' ', '') AS word,
+                 len(string_split(syms, ' ')) AS n_syms
+          FROM v{n_merges}),
+  dw AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text),
+                                          '{vocab.WORD_REGEX}')) AS word
+         FROM documents),
+  pdw AS (SELECT doc_id, word, COUNT(*) AS k FROM dw GROUP BY 1, 2),
+  a AS (SELECT doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_words,
+               CAST(SUM(k * n_syms) AS BIGINT) AS n_tokens
+        FROM pdw JOIN map USING (word)
+        GROUP BY doc_id)
+SELECT doc_id, n_words, n_tokens,
+       CAST(n_tokens AS DOUBLE) / n_words AS tokens_per_word
+FROM a"""
 
 
 def _kmeans_ctes(k: int, n_iter: int, src: str = "embeddings") -> str:

@@ -110,6 +110,7 @@ def main() -> None:
         "tfidf_keywords",
         "bpe_merges",
         "bpe_vocab",
+        "bpe_encode",
         "kmeans_assign",
         "bm25",
         "blocklist",

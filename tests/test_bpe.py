@@ -166,3 +166,29 @@ def test_bpe_vocab_matches_reference(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_bpe_encode_matches_reference(spark):
+    """The encode pass (word join + weighted sums) reproduces a
+    plain-Python apply of the reference-learned tokenizer per doc."""
+    import re
+
+    from webextract.operators.bpe import bpe_encode
+
+    texts = [
+        "the cat sat on the mat",
+        "the mats that the cats sat on",
+        "that cat, that hat!",
+    ]
+    _, final_vocab = _ref_learn(texts, 6)
+    n_syms = {s.replace(" ", ""): len(s.split(" ")) for s in final_vocab}
+    expected = {}
+    for i, t in enumerate(texts):
+        words = re.findall("[a-z]+", t.lower())
+        toks = sum(n_syms[w] for w in words)
+        expected[i] = (len(words), toks, toks / len(words))
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.tokens_per_word)
+        for r in bpe_encode(_docs(spark, texts), n_merges=6).collect()
+    }
+    assert got == expected

@@ -168,12 +168,12 @@ def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     return out
 
 
-def bpe_vocab(docs: DataFrame, n_merges: int = 8, k: int = 20) -> DataFrame:
-    """The symbol inventory AFTER ``n_merges`` learned merges:
-    top-``k`` symbols by corpus occurrence → (rank, sym,
-    n_occurrences). Evidences merge APPLICATION (the encode side),
-    not just learning; rank ties break symbol-ascending and top-k is
-    a distributed TakeOrderedAndProject."""
+def _merged_vocab(docs: DataFrame, n_merges: int) -> DataFrame:
+    """The word-frequency table after ``n_merges`` learned merges —
+    the trained-tokenizer artifact (syms, cnt). Shared by
+    :func:`bpe_vocab` (inventory stats) and :func:`bpe_encode`
+    (corpus application); at 10^12 pages this table is what a
+    deployment persists once and reuses."""
     vocab = word_freq(docs).localCheckpoint(eager=False)
     for _ in range(n_merges):
         best = (
@@ -183,6 +183,16 @@ def bpe_vocab(docs: DataFrame, n_merges: int = 8, k: int = 20) -> DataFrame:
             .localCheckpoint()
         )
         vocab = _apply_merge(vocab, best).localCheckpoint(eager=False)
+    return vocab
+
+
+def bpe_vocab(docs: DataFrame, n_merges: int = 8, k: int = 20) -> DataFrame:
+    """The symbol inventory AFTER ``n_merges`` learned merges:
+    top-``k`` symbols by corpus occurrence → (rank, sym,
+    n_occurrences). Evidences merge APPLICATION (the encode side),
+    not just learning; rank ties break symbol-ascending and top-k is
+    a distributed TakeOrderedAndProject."""
+    vocab = _merged_vocab(docs, n_merges)
     totals = (
         vocab.select(F.explode(F.split("syms", " ")).alias("sym"), "cnt")
         .groupBy("sym")
@@ -198,4 +208,55 @@ def bpe_vocab(docs: DataFrame, n_merges: int = 8, k: int = 20) -> DataFrame:
     ).orderBy(F.desc("n_occurrences"), F.asc("sym"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "sym", "n_occurrences"
+    )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Apply the learned tokenizer to the corpus — the encode pass a
+    training-data pipeline runs over every document once the merges
+    are frozen (the reference analog is the per-image dict lookup in
+    ppocr/postprocess/rec_postprocess.py:55-88: a trained inventory
+    applied row-by-row at inference). Output per document: word
+    count, BPE token count under the ``n_merges``-merge tokenizer,
+    and tokens_per_word (one IEEE division of exact ints — the
+    hash-portable compression ratio the sampling/packing operators
+    consume as a cost signal).
+
+    The word → tokenization mapping needs no second derivation:
+    merges only ever concatenate adjacent symbols, so stripping the
+    spaces from a merged symbol string recovers the original word —
+    the trained vocabulary table IS the mapping.
+
+    Scale shape: the corpus is reduced to (doc_id, word, k) by a
+    partial-agg groupBy before touching the vocabulary, so the join
+    input is distinct words per document, not word instances; the
+    mapping side is vocabulary-sized (~10^7-10^8 at 10^12 pages) and
+    joins by word equi-key. Hot words ("the") make (word) a skewed
+    join key — the pre-aggregation caps that at one row per
+    (document, word), and AQE's skew-join split handles the residual
+    imbalance; no window, no collect, no Python."""
+    mapping = _merged_vocab(docs, n_merges).select(
+        F.replace(F.col("syms"), F.lit(" "), F.lit("")).alias("word"),
+        F.size(F.split("syms", " ")).alias("n_syms"),
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_REGEX), 0)
+        ).alias("word"),
+    )
+    per_doc_word = words.groupBy("doc_id", "word").agg(
+        F.count("*").alias("k")
+    )
+    joined = per_doc_word.join(mapping, "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_syms")).alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.col("n_tokens").cast("double") / F.col("n_words"),
+        )
     )
