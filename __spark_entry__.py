@@ -1296,6 +1296,16 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language length quantiles (p50/p90/p99 as permille
+    points) by the count-histogram method: the running-sum window
+    orders distinct lengths, never corpus rows, so the operator has
+    no single-task-per-key sort at any corpus size. The quantile pick
+    (smallest length whose cumulative count reaches ceil(q·n/1000))
+    is pure integer arithmetic — hash-portable by construction."""
+    return textstats.length_quantiles(_docs(spark, sf_dir))
+
+
 # script_stats fixture: planted per-script suffixes (doc_id % 7 picks
 # one; the base text is truncated to 50 chars so the planted script
 # dominates) — frozen strings shared by the Spark builder and the
@@ -1688,8 +1698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "bm25": q_bm25,
         "page_meta": q_page_meta,
-        "quality": q_quality,
         "langid": q_langid,
+        "length_quantiles": q_length_quantiles,
         "script_stats": q_script_stats,
         "fingerprints": q_fingerprints,
         "repetition": q_repetition,
@@ -1737,9 +1747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-exact r3 driver rows and their r4 rework (two-phase
         # prefix sum) was plan-shape-only — oracles and results
         # unchanged, re-verified by the local 3-SF sweep this round.
-        # token_stats (r2-green, unchanged) ceded its slot to the new
-        # bpe_encode.
+        # token_stats and quality (r2-green, unchanged) ceded their
+        # slots to the new bpe_encode and length_quantiles.
         "token_stats": q_token_stats,
+        "quality": q_quality,
         "pack_chunks": q_pack_chunks,
         "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
@@ -3072,6 +3083,25 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             FROM b
         """,
         "langid": _langid_sql(),
+        "length_quantiles": """
+            WITH lens AS (SELECT lang,
+                                 CAST(strlen(text) AS BIGINT) AS len,
+                                 COUNT(*) AS c
+                          FROM documents GROUP BY 1, 2),
+            cum AS (SELECT lang, len,
+                           CAST(SUM(c) OVER (PARTITION BY lang
+                                             ORDER BY len) AS BIGINT) AS cum
+                    FROM lens),
+            tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs
+                    FROM lens GROUP BY lang),
+            q AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT)
+                           AS q_permille)
+            SELECT c.lang, q.q_permille, MIN(c.len) AS len,
+                   MIN(t.n_docs) AS n_docs
+            FROM cum c JOIN tot t USING (lang) CROSS JOIN q
+            WHERE c.cum * 1000 >= q.q_permille * t.n_docs
+            GROUP BY c.lang, q.q_permille
+        """,
         "script_stats": _script_stats_sql(),
         "fingerprints": r"""
             WITH c AS (SELECT doc_id,

@@ -131,6 +131,7 @@ def main() -> None:
         "token_stats",
         "quality",
         "langid",
+        "length_quantiles",
         "script_stats",
         "fingerprints",
         "repetition",

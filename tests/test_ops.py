@@ -484,6 +484,29 @@ def test_token_stats_known_values(spark):
     assert r["n_chars_obs"] == 11
 
 
+def test_length_quantiles_matches_sorted_pick(spark):
+    """Histogram quantiles == the direct sorted-list pick
+    lens[ceil(q*n/1000) - 1], per language, including duplicates."""
+    import math
+
+    rows, lens_by_lang = [], {}
+    for i in range(37):
+        lang = "en" if i % 3 else "de"
+        text = "x" * ((i * 7) % 11 + 1)  # duplicate lengths on purpose
+        rows.append((i, lang, text))
+        lens_by_lang.setdefault(lang, []).append(len(text))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        (r.lang, r.q_permille): (r.len, r.n_docs)
+        for r in textstats.length_quantiles(df).collect()
+    }
+    for lang, lens in lens_by_lang.items():
+        lens.sort()
+        for q in (500, 900, 990):
+            expected = lens[math.ceil(q * len(lens) / 1000) - 1]
+            assert got[(lang, q)] == (expected, len(lens))
+
+
 def test_quality_scores_known_values(spark):
     df = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
     r = textstats.quality_scores(df).first()

@@ -361,3 +361,56 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         & F.col("r_stopwords")
     )
     return out.withColumn("keep", keep)
+
+
+def length_quantiles(
+    docs: DataFrame, qs: tuple[int, ...] = (500, 900, 990)
+) -> DataFrame:
+    """EXACT per-language document-length quantiles (permille points,
+    default p50/p90/p99) via the count-histogram method — the Gopher-
+    style corpus length profile (reference analog: the dataset-wide
+    shape statistics PaddleOCR's benchmark harness reports per config,
+    benchmark/readme.md).
+
+    Scale shape: the corpus collapses to a (lang, len) count histogram
+    at the first shuffle — the running-sum window that follows orders
+    DISTINCT LENGTHS within a language (bounded by max document
+    length, ~10^5-10^6 rows per language at any corpus size), never
+    corpus rows, so the single-task-per-key window trap does not
+    apply. The quantile pick is then: smallest length whose cumulative
+    count reaches ceil(q·n/1000) — all integer arithmetic, no
+    interpolation, hash-portable by construction.
+    """
+    from pyspark.sql.window import Window
+
+    # byte length (octet_length <-> DuckDB strlen): unambiguous across
+    # engines, unlike codepoint/grapheme counting. The histogram feeds
+    # two plan branches (running sum + totals): checkpoint so the
+    # corpus scan runs once (r2 lesson).
+    lens = (
+        docs.groupBy(
+            F.col("lang"),
+            F.octet_length("text").cast("long").alias("len"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lens.withColumn("cum", F.sum("c").over(w))
+    tot = lens.groupBy("lang").agg(F.sum("c").alias("n_docs"))
+    qcol = F.explode(
+        F.array([F.lit(q).cast("long") for q in qs])
+    ).alias("q_permille")
+    j = cum.join(F.broadcast(tot), "lang").select(
+        "lang", "len", "cum", "n_docs", qcol
+    )
+    # cum >= ceil(q*n/1000)  <=>  cum*1000 >= q*n  (integer cum)
+    return (
+        j.filter(F.col("cum") * 1000 >= F.col("q_permille") * F.col("n_docs"))
+        .groupBy("lang", "q_permille")
+        .agg(F.min("len").alias("len"), F.min("n_docs").alias("n_docs"))
+    )
