@@ -562,6 +562,38 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl prioritization from observed change frequency: six
+    captures per url, content version bumped every ``period`` =
+    doc_id%3+1 captures — so the md5-fingerprint lag walk must
+    recover exactly floor(5/period) changes per url. The oracle
+    states that plant as GROUND TRUTH from doc_id arithmetic (not a
+    mirrored window), pinning fingerprinting, capture ordering, the
+    change count, the ratio, and the integer revisit policy at once."""
+    from webextract.operators.urlnorm import change_rate
+    from webextract.sources.pages import _EPOCH_2024, page_url
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    period = doc_id % 3 + 1
+    caps = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("c"),
+    ).select(
+        page_url(doc_id).alias("url"),
+        F.timestamp_seconds(
+            F.lit(_EPOCH_2024) + doc_id + F.col("c") * 86400
+        ).alias("warc_ts"),
+        F.concat(
+            F.col("text"),
+            F.lit(" v"),
+            F.floor(F.col("c") / period).cast("long").cast("string"),
+        ).alias("text"),
+    )
+    return change_rate(caps)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus (doc_id % 11 != 0) vs a
     held-out benchmark sample (doc_id % 11 = 0), flagging corpus docs
@@ -1698,7 +1730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "bm25": q_bm25,
         "page_meta": q_page_meta,
-        "langid": q_langid,
         "length_quantiles": q_length_quantiles,
         "script_stats": q_script_stats,
         "fingerprints": q_fingerprints,
@@ -1734,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_txt": q_robots_txt,
         "crawl_frontier": q_crawl_frontier,
         "fetch_schedule": q_fetch_schedule,
+        "change_rate": q_change_rate,
         "video_meta": q_video_meta,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -1747,10 +1779,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-exact r3 driver rows and their r4 rework (two-phase
         # prefix sum) was plan-shape-only — oracles and results
         # unchanged, re-verified by the local 3-SF sweep this round.
-        # token_stats and quality (r2-green, unchanged) ceded their
-        # slots to the new bpe_encode and length_quantiles.
+        # token_stats, quality, and langid (r2-green, unchanged) ceded
+        # their slots to the new bpe_encode, length_quantiles, and
+        # change_rate.
         "token_stats": q_token_stats,
         "quality": q_quality,
+        "langid": q_langid,
         "pack_chunks": q_pack_chunks,
         "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
@@ -2453,6 +2487,19 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             SELECT url, CAST(ts_s AS BIGINT) AS ts_s, text, lang,
                    CAST(n_snapshots AS BIGINT) AS n_snapshots
             FROM r WHERE rn = 1
+        """,
+        "change_rate": f"""
+            WITH g AS (SELECT {_URL} AS url,
+                              CAST(5 // (doc_id % 3 + 1) AS BIGINT)
+                                AS n_changes
+                       FROM documents)
+            SELECT url,
+                   CAST(6 AS BIGINT) AS n_captures,
+                   n_changes,
+                   CAST(n_changes AS DOUBLE) / 5 AS change_ratio,
+                   CAST((86400 * 5) // (n_changes + 1) AS BIGINT)
+                     AS revisit_after_s
+            FROM g
         """,
         "decontaminate": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -96,6 +96,7 @@ def main() -> None:
         "crawl_frontier",
         "crawl_delays",
         "fetch_schedule",
+        "change_rate",
         "lm_buckets",
         "lang_rebalance",
         "host_boiler",
