@@ -1277,6 +1277,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(_docs_spread(spark, sf_dir), n_merges=8)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase query ("table hash"): term-filtered
+    positions + adjacency equi-joins on (doc_id, position). The
+    oracle is ground truth by a different method entirely — an
+    in-row lambda walk over each document's word array — so a bug in
+    the postings join cannot be mirrored."""
+    return vocab.phrase_search(_docs_spread(spark, sf_dir), "table hash")
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting lists capped at the 16 smallest doc_ids per word via a
     pre-collection WindowGroupLimit — no unbounded collect_set."""
@@ -1725,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kie_pairs": q_kie_pairs,
         "list_items": q_list_items,
         "vocab_topk": q_vocab_topk,
+        "phrase_search": q_phrase_search,
         "inverted_index": q_inverted_index,
         "tfidf_keywords": q_tfidf_keywords,
         "blocklist": q_blocklist,
@@ -1732,7 +1742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,
         "length_quantiles": q_length_quantiles,
         "script_stats": q_script_stats,
-        "fingerprints": q_fingerprints,
         "repetition": q_repetition,
         "gopher_rules": q_gopher_rules,
         "redact_pii": q_redact_pii,
@@ -1779,12 +1788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-exact r3 driver rows and their r4 rework (two-phase
         # prefix sum) was plan-shape-only — oracles and results
         # unchanged, re-verified by the local 3-SF sweep this round.
-        # token_stats, quality, and langid (r2-green, unchanged) ceded
-        # their slots to the new bpe_encode, length_quantiles, and
-        # change_rate.
+        # token_stats, quality, langid, and fingerprints (r2-green,
+        # unchanged) ceded their slots to the new bpe_encode,
+        # length_quantiles, change_rate, and phrase_search.
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
+        "fingerprints": q_fingerprints,
         "pack_chunks": q_pack_chunks,
         "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
@@ -3003,6 +3013,20 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         "kmeans_assign": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "phrase_search": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                                 '{vocab.WORD_REGEX}') AS w
+                       FROM documents),
+            m AS (SELECT doc_id,
+                         list_filter(range(1, len(w)),
+                                     i -> w[i] = 'table'
+                                          AND w[i + 1] = 'hash') AS l
+                  FROM t)
+            SELECT doc_id, CAST(len(l) AS BIGINT) AS n_matches,
+                   CAST(l[1] AS BIGINT) AS first_pos
+            FROM m WHERE len(l) > 0
+        """,
         "inverted_index": f"""
             WITH g AS (SELECT doc_id,
                               unnest(regexp_extract_all(lower(text),

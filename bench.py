@@ -106,6 +106,7 @@ def main() -> None:
         "host_skew",
         "fetch_waves",
         "vocab_topk",
+        "phrase_search",
         "ngram_counts",
         "inverted_index",
         "tfidf_keywords",

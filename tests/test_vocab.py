@@ -216,3 +216,26 @@ def test_bm25_multiple_queries_ranked_independently(spark):
     got = {(r["query_id"], r["rank"]): r["doc_id"] for r in rows}
     assert got[(1, 1)] == 0 and got[(1, 2)] == 2
     assert got[(2, 1)] == 1 and got[(2, 2)] == 2
+
+
+def test_phrase_search_positions_and_overlaps(spark):
+    """3-term chain, overlapping occurrences, and 1-based first_pos."""
+    from webextract.operators.vocab import phrase_search
+
+    rows = [
+        (1, "a b c x a b c"),      # two matches of "a b c" at 1 and 5
+        (2, "a a a a"),            # overlapping "a a a": starts 1 and 2
+        (3, "a b x c"),            # no match
+        (4, "c b a"),              # order matters: no match
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "a b c").collect()
+    }
+    assert got == {1: (2, 1)}
+    got2 = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "a a a").collect()
+    }
+    assert got2 == {2: (2, 1)}

@@ -322,3 +322,52 @@ def bm25_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def phrase_search(
+    docs: DataFrame, phrase: str, text_col: str = "text"
+) -> DataFrame:
+    """Exact word-level phrase matching via positional postings — the
+    retrieval counterpart of :func:`inverted_index` (which stores
+    docs-per-word; phrase queries additionally need word positions,
+    the classic positional-index design). Output per matching doc:
+    ``n_matches`` (occurrences, overlapping allowed) and ``first_pos``
+    (1-based word index of the earliest match).
+
+    Scale shape: the positions table is corpus-sized, but the
+    ``isin(terms)`` filter runs INSIDE the explode stage (no shuffle —
+    only rows carrying query terms survive to any exchange), and each
+    adjacency step is an equi-join on (doc_id, position), a perfectly
+    spread key even for stopword-hot terms. The filtered positions
+    table feeds every join branch, so it is checkpointed once. At
+    10^12 docs the same plan runs against a PERSISTED positions table
+    (write ``words`` bucketed by doc_id) — the query-time joins are
+    then co-partitioned and exchange-free.
+    """
+    terms = phrase.lower().split()
+    assert terms, "phrase must contain at least one word"
+    words = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_REGEX), 0
+                )
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word").isin(terms))
+        .localCheckpoint(eager=False)
+    )
+    base = words.filter(F.col("word") == terms[0]).select("doc_id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = words.filter(F.col("word") == t).select(
+            F.col("doc_id").alias("d2"), (F.col("pos") - i).alias("p2")
+        )
+        base = base.join(
+            nxt,
+            (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("p2")),
+        ).select("doc_id", "pos")
+    return base.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"),
+        (F.min("pos") + 1).cast("long").alias("first_pos"),
+    )
