@@ -1501,6 +1501,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=5)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hub/authority over the host graph: three
+    UN-normalized integer power iterations (rescaling only divides
+    every score by the same scalar, so ranking is invariant — and
+    the integer form is bit-identical across engines). Oracle =
+    the same three rounds unrolled as SQL CTEs over the shared
+    edge restatement."""
+    from webextract.operators.links import extract_links, hits, host_graph
+    from webextract.sources.pages import pages_with_links
+
+    edges = host_graph(extract_links(pages_with_links(spark, sf_dir)))
+    return hits(edges, n_iter=3)
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text profile per target host: inlink count, distinct
     source hosts, and the modal anchor text (ties broken count desc,
@@ -1745,7 +1759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "gopher_rules": q_gopher_rules,
         "redact_pii": q_redact_pii,
-        "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "media_decode": q_media_decode,
         "media_pages": q_media_pages,
@@ -1756,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "union_sample": q_union_sample,
         "pipeline_dedup": q_pipeline_dedup,
         "pipeline_clean": q_pipeline_clean,
@@ -1788,13 +1802,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-exact r3 driver rows and their r4 rework (two-phase
         # prefix sum) was plan-shape-only — oracles and results
         # unchanged, re-verified by the local 3-SF sweep this round.
-        # token_stats, quality, langid, and fingerprints (r2-green,
-        # unchanged) ceded their slots to the new bpe_encode,
-        # length_quantiles, change_rate, and phrase_search.
+        # token_stats, quality, langid, fingerprints, and events_hourly
+        # (r2-green, unchanged) ceded their slots to the new bpe_encode,
+        # length_quantiles, change_rate, phrase_search, and hits.
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
+        "events_hourly": q_events_hourly,
         "pack_chunks": q_pack_chunks,
         "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
@@ -3381,6 +3396,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             FROM tot t JOIN top p ON t.dst_host = p.dst_host AND p.rk = 1
         """,
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
         # ground truth of the planted WAV fields; the Spark side must
         # recover them from the real RIFF byte layout
         "audio_meta": """
@@ -3749,6 +3765,50 @@ SELECT v.vec_id, CAST(v.cluster AS BIGINT) AS list_id,
        COALESCE(c.grp, v.vec_id) AS group_id,
        COALESCE(c.grp, v.vec_id) = v.vec_id AS is_keeper
 FROM v LEFT JOIN comp c USING (vec_id)"""
+
+
+def _hits_sql(n_iter: int = 3) -> str:
+    """Unrolled exact-integer HITS: hub0 = 1 everywhere; per round k,
+    raw authority_k[v] = Σ_in w·hub_{k-1}[u], rescaled by the shared
+    divisor greatest(1, max DIV 2^20); then the hub half-step the same
+    way — pure BIGINT sums + floor divisions over the shared edge
+    restatement, absent nodes coalesced to 0 exactly like the Spark
+    left joins."""
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+  ar{k} AS (
+    SELECT n.host, COALESCE(s.a, CAST(0 AS BIGINT)) AS authority
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst_host AS host,
+             CAST(SUM(e.weight * h.hub) AS BIGINT) AS a
+      FROM ew e JOIN h{k - 1} h ON h.host = e.src_host
+      GROUP BY e.dst_host) s ON s.host = n.host),
+  a{k} AS (
+    SELECT host, CAST(authority // GREATEST(CAST(1 AS BIGINT),
+               (SELECT MAX(authority) FROM ar{k}) // 1048576)
+           AS BIGINT) AS authority
+    FROM ar{k}),
+  hr{k} AS (
+    SELECT n.host, COALESCE(s.h, CAST(0 AS BIGINT)) AS hub
+    FROM nodes n LEFT JOIN (
+      SELECT e.src_host AS host,
+             CAST(SUM(e.weight * a.authority) AS BIGINT) AS h
+      FROM ew e JOIN a{k} a ON a.host = e.dst_host
+      GROUP BY e.src_host) s ON s.host = n.host),
+  h{k} AS (
+    SELECT host, CAST(hub // GREATEST(CAST(1 AS BIGINT),
+               (SELECT MAX(hub) FROM hr{k}) // 1048576)
+           AS BIGINT) AS hub
+    FROM hr{k})""")
+    return f"""
+WITH {_EDGES_CTE},
+  nodes AS (SELECT src_host AS host FROM ew
+            UNION SELECT dst_host FROM ew),
+  h0 AS (SELECT host, CAST(1 AS BIGINT) AS hub FROM nodes),{",".join(its)}
+SELECT h.host, h.hub, a.authority
+FROM h{n_iter} h JOIN a{n_iter} a USING (host)
+"""
 
 
 def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:

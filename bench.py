@@ -149,6 +149,7 @@ def main() -> None:
         "host_graph",
         "anchor_texts",
         "pagerank",
+        "hits",
         "pipeline_clean",
         "pipeline_funnel",
         "corpus_report",
