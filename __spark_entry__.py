@@ -989,6 +989,18 @@ def q_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_texts(_docs(spark, sf_dir), ctx=64, n_shards=8)
 
 
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch host counts vs truth: the 4×4096-cell sketch
+    is built in one corpus pass and point-queried for every host; the
+    oracle restates the frozen md5 row hashes and the same cell
+    arithmetic, so sketch construction, probing, AND the min-over-rows
+    estimate are all pinned. true_n comes from the planted _HOST
+    distribution — the overestimate column is ground-truth-checked."""
+    from webextract.operators.sampling import count_min_hosts
+
+    return count_min_hosts(pages_from_documents(spark, sf_dir))
+
+
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew audit over the planted host distribution (half the corpus
     on host0): per-host page counts, BIGINT-permille share, and the
@@ -1759,7 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "gopher_rules": q_gopher_rules,
         "redact_pii": q_redact_pii,
-        "events_sessions": q_events_sessions,
+        "count_min": q_count_min,
         "media_decode": q_media_decode,
         "media_pages": q_media_pages,
         "media_features": q_media_features,
@@ -1802,14 +1814,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-exact r3 driver rows and their r4 rework (two-phase
         # prefix sum) was plan-shape-only — oracles and results
         # unchanged, re-verified by the local 3-SF sweep this round.
-        # token_stats, quality, langid, fingerprints, and events_hourly
-        # (r2-green, unchanged) ceded their slots to the new bpe_encode,
-        # length_quantiles, change_rate, phrase_search, and hits.
+        # token_stats, quality, langid, fingerprints, events_hourly,
+        # and events_sessions (r2-green, unchanged) ceded their slots
+        # to the new bpe_encode, length_quantiles, change_rate,
+        # phrase_search, hits, and count_min.
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "pack_chunks": q_pack_chunks,
         "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
@@ -2908,6 +2922,35 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    string_agg(piece, ' ' ORDER BY start_tok) AS chunk_text,
                    COUNT(*) AS n_docs, CAST(SUM(np) AS BIGINT) AS n_tokens
             FROM pieces GROUP BY shard, chunk
+        """,
+        "count_min": f"""
+            WITH hosts AS (
+              SELECT 'host' || CAST({_HOST} AS VARCHAR) || '.example'
+                         AS host
+              FROM documents),
+            rows_ AS (
+              SELECT host, j,
+                     CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                              || host), 1, 8)) AS BIGINT)
+                       % 4096 AS cell
+              FROM hosts, unnest([0, 1, 2, 3]) AS t(j)),
+            sketch AS (SELECT j, cell, COUNT(*) AS c
+                       FROM rows_ GROUP BY 1, 2),
+            truth AS (SELECT host, COUNT(*) AS true_n
+                      FROM hosts GROUP BY host),
+            probes AS (
+              SELECT t.host, t.true_n, u.j,
+                     CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':'
+                                              || t.host), 1, 8)) AS BIGINT)
+                       % 4096 AS cell
+              FROM truth t, unnest([0, 1, 2, 3]) AS u(j)),
+            est AS (SELECT p.host, p.true_n,
+                           CAST(MIN(s.c) AS BIGINT) AS est_n
+                    FROM probes p JOIN sketch s USING (j, cell)
+                    GROUP BY 1, 2)
+            SELECT host, CAST(true_n AS BIGINT) AS true_n, est_n,
+                   est_n - CAST(true_n AS BIGINT) AS overestimate
+            FROM est
         """,
         "host_skew": f"""
             WITH c AS (

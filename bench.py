@@ -104,6 +104,7 @@ def main() -> None:
         "heading_paths",
         "split_assign",
         "host_skew",
+        "count_min",
         "fetch_waves",
         "vocab_topk",
         "phrase_search",

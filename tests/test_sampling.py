@@ -372,3 +372,20 @@ def test_fetch_waves_total_with_null_keys(spark):
     assert h0 == [1, 2, 3]
     null_host = [r for r in rows if r.host is None]
     assert len(null_host) == 1 and null_host[0].seq == 1
+
+
+def test_count_min_overestimates_only_and_is_tight_when_sparse(spark):
+    """CM property: est >= true for every key; with far fewer keys
+    than cells the estimate is exact (no collisions possible to
+    force, so overestimate == 0 for all three hosts here)."""
+    from webextract.operators.sampling import count_min_hosts
+
+    rows = [(f"https://h{i % 3}.com/p{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {r.host: r for r in count_min_hosts(df).collect()}
+    assert len(got) == 3
+    for r in got.values():
+        assert r.est_n >= r.true_n
+        assert r.overestimate == r.est_n - r.true_n
+    assert sum(r.true_n for r in got.values()) == 30
+    assert all(r.overestimate == 0 for r in got.values())

@@ -512,3 +512,97 @@ def fetch_waves(
         .withColumn("wave", F.expr(f"(seq - 1) DIV {int(per_wave)}"))
         .drop("_fp", "_b", "_r", "_oh", "_ob", "_off")
     )
+
+
+def count_min_hosts(
+    pages: DataFrame,
+    depth: int = 4,
+    width: int = 4096,
+    url_col: str = "url",
+) -> DataFrame:
+    """Count-min sketch estimate of per-host page counts, compared
+    against truth → (host, true_n, est_n, overestimate). The sketch
+    is the streaming/limited-memory face of host counting: a
+    ``depth × width`` cell table built in ONE pass (explode depth
+    rows per page, partial-agg groupBy — the whole sketch is ≤
+    depth·width rows regardless of corpus size, mergeable across
+    partitions/batches by cell-wise addition), point queries are a
+    broadcast join of the tiny sketch. est ≥ true always (counts are
+    non-negative); the overestimate column exposes collision error,
+    bounded by 2·N/width per row with probability 1 − 2^-depth.
+
+    Determinism: row j's hash is the md5 of ``j || ':' || host``
+    (first 8 hex chars mod width) — frozen, engine-portable, no seed
+    state. A learned/streamed deployment keeps the SAME cell table
+    and adds to it (see streaming/: the batch and stream shapes
+    share cell arithmetic by construction)."""
+    from webextract.operators.links import host_of
+
+    hosts = pages.select(host_of(F.col(url_col)).alias("host"))
+    rows = hosts.select(
+        "host",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(depth - 1))
+        ).alias("j"),
+    ).select(
+        "host",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("host"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("cell"),
+    )
+    sketch = rows.groupBy("j", "cell").agg(F.count("*").alias("c"))
+    truth = hosts.groupBy("host").agg(F.count("*").alias("true_n"))
+    probes = truth.select(
+        "host",
+        "true_n",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    ).select(
+        "host",
+        "true_n",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("host"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("cell"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("host", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "host",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overestimate"),
+    )
