@@ -163,3 +163,26 @@ def test_streaming_warc_ingest_drain_matches_batch(spark, tmp_path):
     # exactly-once: re-drain adds nothing
     run_warc_extract_stream(spark, inp, out, ckpt)
     assert spark.read.parquet(out).count() == 500
+
+
+def test_streaming_count_min_matches_batch_sketch(spark, tmp_path):
+    """The stream-drained cell table equals the batch sketch exactly
+    (same frozen md5 cells, cell-wise counts) — the mergeability the
+    count-min deployment relies on."""
+    from webextract.operators.sampling import cm_cells
+    from webextract.streaming.cm_stream import run_cm_stream
+
+    inp = str(tmp_path / "in")
+    pages = pages_from_documents(spark, SF)
+    pages.repartition(4).write.parquet(inp)
+
+    streamed = run_cm_stream(spark, inp)
+    batch = (
+        cm_cells(spark.read.parquet(inp))
+        .groupBy("j", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+    s = {(r.j, r.cell): r.c for r in streamed.collect()}
+    b = {(r.j, r.cell): r.c for r in batch.collect()}
+    assert s == b
+    assert sum(s.values()) == 500 * 4

@@ -16,7 +16,7 @@ ANSI SQL by the DuckDB oracles in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # salt fan-out of the quota pre-rank (phase 1). 16 bounds any host's
@@ -514,6 +514,40 @@ def fetch_waves(
     )
 
 
+def cm_cell(host: Column, j: Column, width: int) -> Column:
+    """The frozen count-min row hash: md5 of ``j || ':' || host``,
+    first 8 hex chars as int, mod width — engine-portable, seedless,
+    shared by the batch operator and the streaming builder so their
+    cell tables are mergeable by construction."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(j.cast("string"), F.lit(":"), host)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cm_cells(
+    pages: DataFrame, depth: int = 4, width: int = 4096, url_col: str = "url"
+) -> DataFrame:
+    """Map-only (host, j, cell) rows, ``depth`` per page — stateless,
+    so it runs IDENTICALLY on a batch frame or a stream (the streaming
+    sketch builder groups these same rows; see
+    streaming/cm_stream.py)."""
+    from webextract.operators.links import host_of
+
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    hosts = pages.select(host_of(F.col(url_col)).alias("host"))
+    rows = hosts.select("host", j)
+    return rows.select(
+        "host", "j", cm_cell(F.col("host"), F.col("j"), width).alias("cell")
+    )
+
+
 def count_min_hosts(
     pages: DataFrame,
     depth: int = 4,
@@ -531,43 +565,21 @@ def count_min_hosts(
     non-negative); the overestimate column exposes collision error,
     bounded by 2·N/width per row with probability 1 − 2^-depth.
 
-    Determinism: row j's hash is the md5 of ``j || ':' || host``
-    (first 8 hex chars mod width) — frozen, engine-portable, no seed
-    state. A learned/streamed deployment keeps the SAME cell table
-    and adds to it (see streaming/: the batch and stream shapes
-    share cell arithmetic by construction)."""
-    from webextract.operators.links import host_of
-
-    hosts = pages.select(host_of(F.col(url_col)).alias("host"))
-    rows = hosts.select(
-        "host",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(depth - 1))
-        ).alias("j"),
-    ).select(
-        "host",
-        "j",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("j").cast("string"),
-                            F.lit(":"),
-                            F.col("host"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        ).alias("cell"),
+    Determinism: :func:`cm_cell` — frozen md5 row hashes, no seed
+    state. A streamed deployment keeps the SAME cell table and adds
+    to it (streaming/cm_stream.py builds bit-identical cells from the
+    same map-only rows)."""
+    # cells feed both the sketch and the truth side: checkpoint so the
+    # corpus scans once (r2 lesson)
+    rows = cm_cells(pages, depth, width, url_col).localCheckpoint(
+        eager=False
     )
     sketch = rows.groupBy("j", "cell").agg(F.count("*").alias("c"))
-    truth = hosts.groupBy("host").agg(F.count("*").alias("true_n"))
+    truth = (
+        rows.filter(F.col("j") == 0)
+        .groupBy("host")
+        .agg(F.count("*").alias("true_n"))
+    )
     probes = truth.select(
         "host",
         "true_n",
@@ -576,24 +588,7 @@ def count_min_hosts(
         "host",
         "true_n",
         "j",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("j").cast("string"),
-                            F.lit(":"),
-                            F.col("host"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        ).alias("cell"),
+        cm_cell(F.col("host"), F.col("j"), width).alias("cell"),
     )
     est = (
         probes.join(F.broadcast(sketch), ["j", "cell"])
