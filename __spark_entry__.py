@@ -429,7 +429,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-not-sim contract shared with sim_topk/ann_lsh. The float
     Spark-ML IVF (similarity.ivf_topk) stays for trained quantizers,
     pinned by recall-vs-brute tests."""
-    return similarity.ivf_topk_exact(_emb(spark, sf_dir), EMB_DIM, 5, 10).select(
+    return similarity.ivf_topk_exact(_emb(spark, sf_dir), 5, 10).select(
         "query_id", "rank", "neighbor_id"
     )
 
@@ -3216,7 +3216,8 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             WITH lens AS (SELECT lang,
                                  CAST(strlen(text) AS BIGINT) AS len,
                                  COUNT(*) AS c
-                          FROM documents GROUP BY 1, 2),
+                          FROM documents
+                          WHERE text IS NOT NULL GROUP BY 1, 2),
             cum AS (SELECT lang, len,
                            CAST(SUM(c) OVER (PARTITION BY lang
                                              ORDER BY len) AS BIGINT) AS cum

@@ -184,7 +184,7 @@ def test_ivf_topk_exact_recall_and_contract(spark, emb):
     q = similarity.make_queries(emb, 10)
     brute = similarity.cosine_topk(emb, q, 5).collect()
     ivf = similarity.ivf_topk_exact(
-        emb, 64, 5, 10, n_lists=8, n_probe=3
+        emb, 5, 10, n_lists=8, n_probe=3
     ).collect()
     bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
     iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}

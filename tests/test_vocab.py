@@ -239,3 +239,10 @@ def test_phrase_search_positions_and_overlaps(spark):
         for r in phrase_search(df, "a a a").collect()
     }
     assert got2 == {2: (2, 1)}
+    # query tokenized with the corpus regex: punctuation never makes
+    # a phrase silently unmatchable
+    got3 = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "A, b -- c!").collect()
+    }
+    assert got3 == got

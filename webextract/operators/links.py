@@ -207,18 +207,18 @@ def _rescaled(scores: DataFrame, col: str, shift_pow: int = 20) -> DataFrame:
     to ~2^43 per node, comfortably past web scale. The divisor is ONE
     broadcast scalar per round — the integer analog of HITS' classic
     norm step."""
-    two = F.lit(1 << shift_pow).cast("long")
+    # integer DIV throughout: routing the floor division through
+    # long/long `/` (double) rounds above 2^53 — inside the int64
+    # envelope this function exists to protect (review finding)
     m = scores.agg(F.max(col).alias("m")).select(
         F.greatest(
             F.lit(1).cast("long"),
-            ((F.col("m") - F.col("m") % two) / two).cast("long"),
+            F.expr(f"m DIV {1 << shift_pow}").cast("long"),
         ).alias("_div")
     )
     return scores.join(F.broadcast(m), F.lit(True), "left").select(
         "host",
-        ((F.col(col) - F.col(col) % F.col("_div")) / F.col("_div"))
-        .cast("long")
-        .alias(col),
+        F.expr(f"{col} DIV _div").cast("long").alias(col),
     )
 
 
@@ -240,6 +240,8 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     loop-invariant and checkpointed once, each iteration is two
     equi-joins + partial-agg sums on host keys + one broadcast scalar,
     scores checkpoint per round so the plan stays O(1)."""
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1")
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))

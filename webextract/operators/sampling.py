@@ -541,7 +541,13 @@ def cm_cells(
     from webextract.operators.links import host_of
 
     j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
-    hosts = pages.select(host_of(F.col(url_col)).alias("host"))
+    # NULL urls would plant (j, NULL) junk cells in the sketch while
+    # their truth-side probes never join back; unparseable urls all
+    # fuse into host '' — both are excluded, loudly documented
+    # (review finding)
+    hosts = pages.select(host_of(F.col(url_col)).alias("host")).filter(
+        F.col("host").isNotNull() & (F.col("host") != "")
+    )
     rows = hosts.select("host", j)
     return rows.select(
         "host", "j", cm_cell(F.col("host"), F.col("j"), width).alias("cell")

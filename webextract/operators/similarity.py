@@ -704,7 +704,6 @@ def semdedup_exact(
 
 def ivf_topk_exact(
     emb: DataFrame,
-    dim: int,
     k: int = 5,
     n_queries: int = 10,
     n_lists: int = 16,

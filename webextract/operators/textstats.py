@@ -387,8 +387,13 @@ def length_quantiles(
     # engines, unlike codepoint/grapheme counting. The histogram feeds
     # two plan branches (running sum + totals): checkpoint so the
     # corpus scan runs once (r2 lesson).
+    # NULL texts are excluded, not counted: engines disagree on NULL
+    # window placement (Spark orders NULLs first, DuckDB last) and a
+    # lengthless doc has no business in a length quantile
+    # (review finding)
     lens = (
-        docs.groupBy(
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(
             F.col("lang"),
             F.octet_length("text").cast("long").alias("len"),
         )

@@ -344,8 +344,14 @@ def phrase_search(
     (write ``words`` bucketed by doc_id) — the query-time joins are
     then co-partitioned and exchange-free.
     """
-    terms = phrase.lower().split()
-    assert terms, "phrase must contain at least one word"
+    import re
+
+    # tokenize the QUERY with the same regex as the corpus — a naive
+    # .split() would keep punctuation/digit-bearing terms the corpus
+    # side can never produce and silently return zero matches
+    # (review finding)
+    terms = re.findall(WORD_REGEX, phrase.lower())
+    assert terms, "phrase must contain at least one [a-z]+ word"
     words = (
         docs.select(
             "doc_id",
