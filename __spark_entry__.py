@@ -817,6 +817,52 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(src, lm)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., 2023) over the corpus: the
+    target distribution is the frozen clean-reference slice doc_id%10
+    ==0 (the same stand-in lm_buckets trains on), the raw distribution
+    is the full corpus, features are hashed word uni+bigrams (10^4
+    buckets), and weight_bits is the exact-integer log-likelihood
+    ratio bits_raw − bits_target. The oracle restates the hashing, the
+    two bucket bit-cost tables, and the per-doc sums in DuckDB — a
+    bucket-count or OOV-cost drift anywhere flips the md5."""
+    from webextract.operators.importance import log_ratio_scores
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return log_ratio_scores(docs, target, docs)
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes hashed-n-gram quality classification (the fastText
+    keep/drop filter of CCNet/RedPajama) over planted regimes:
+    doc_id%3==2 docs are rewritten to per-doc gibberish (all-unique
+    tokens, lm_buckets' construction), the positive LM trains on the
+    natural slice doc_id%30==1, the negative LM on the gibberish slice
+    doc_id%30==2, and every doc is labeled keep/drop by the sign of
+    the integer log-odds score."""
+    from webextract.operators.importance import nb_classify
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    gib = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.concat(
+                F.lit("zq"), doc_id.cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+    )
+    src = docs.select(
+        "doc_id",
+        F.when(doc_id % 3 == 2, gib).otherwise(F.col("text")).alias("text"),
+    )
+    pos = src.filter(doc_id % 30 == 1)
+    neg = src.filter(doc_id % 30 == 2)
+    return nb_classify(src, pos, neg)
+
+
 def q_host_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-frequency boilerplate strip over planted site templates: a
     'Host N newsletter' banner on docs with doc_id%4!=1 (host-frac =
@@ -1772,8 +1818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "redact_pii": q_redact_pii,
         "count_min": q_count_min,
+        "dsir_weights": q_dsir_weights,
+        "nb_classify": q_nb_classify,
         "media_decode": q_media_decode,
-        "media_pages": q_media_pages,
         "media_features": q_media_features,
         "audio_meta": q_audio_meta,
         "frame_sample": q_frame_sample,
@@ -1782,7 +1829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
         "hits": q_hits,
-        "union_sample": q_union_sample,
         "pipeline_dedup": q_pipeline_dedup,
         "pipeline_clean": q_pipeline_clean,
         "pipeline_funnel": q_pipeline_funnel,
@@ -1817,7 +1863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_stats, quality, langid, fingerprints, events_hourly,
         # and events_sessions (r2-green, unchanged) ceded their slots
         # to the new bpe_encode, length_quantiles, change_rate,
-        # phrase_search, hits, and count_min.
+        # phrase_search, hits, and count_min. media_pages and
+        # union_sample (r2-green, unchanged) ceded theirs to the new
+        # dsir_weights and nb_classify.
+        "media_pages": q_media_pages,
+        "union_sample": q_union_sample,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
@@ -2741,6 +2791,100 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                           THEN 'tail'
                         ELSE 'middle' END AS bucket
             FROM b, c
+        """,
+        "dsir_weights": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(t) AS ng FROM toks
+              UNION ALL
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS ng
+              FROM toks, unnest(range(1, len(t))) AS u(i)
+            ),
+            fb AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT)
+                            % 10000 AS bucket
+                   FROM feats),
+            tc AS (SELECT bucket, count(*) AS c FROM fb
+                   WHERE doc_id % 10 = 0 GROUP BY bucket),
+            lmt AS (SELECT bucket,
+                           length(bin((SELECT SUM(c) FROM tc)))
+                             - length(bin(c)) + 1 AS cost_t
+                    FROM tc),
+            rc AS (SELECT bucket, count(*) AS c FROM fb GROUP BY bucket),
+            lmr AS (SELECT bucket,
+                           length(bin((SELECT SUM(c) FROM rc)))
+                             - length(bin(c)) + 1 AS cost_r
+                    FROM rc),
+            oovt AS (SELECT COALESCE(length(bin((SELECT SUM(c) FROM tc))),
+                                     0) + 1 AS oov_t),
+            oovr AS (SELECT COALESCE(length(bin((SELECT SUM(c) FROM rc))),
+                                     0) + 1 AS oov_r),
+            s AS (SELECT doc_id, count(*) AS n_feats,
+                         SUM(COALESCE(cost_t, (SELECT oov_t FROM oovt)))
+                             AS bits_target,
+                         SUM(COALESCE(cost_r, (SELECT oov_r FROM oovr)))
+                             AS bits_raw
+                  FROM fb LEFT JOIN lmt USING (bucket)
+                          LEFT JOIN lmr USING (bucket)
+                  GROUP BY doc_id)
+            SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+                   CAST(bits_target AS BIGINT) AS bits_target,
+                   CAST(bits_raw AS BIGINT) AS bits_raw,
+                   CAST(bits_raw - bits_target AS BIGINT) AS weight_bits
+            FROM s
+        """,
+        "nb_classify": """
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 2
+                  THEN array_to_string(list_transform(range(1, 31),
+                    i -> 'zq' || CAST(doc_id AS VARCHAR) || 'x' ||
+                         CAST(i AS VARCHAR)), ' ')
+                  ELSE text END AS text
+              FROM documents),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src),
+            feats AS (
+              SELECT doc_id, unnest(t) AS ng FROM toks
+              UNION ALL
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS ng
+              FROM toks, unnest(range(1, len(t))) AS u(i)
+            ),
+            fb AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT)
+                            % 10000 AS bucket
+                   FROM feats),
+            pc AS (SELECT bucket, count(*) AS c FROM fb
+                   WHERE doc_id % 30 = 1 GROUP BY bucket),
+            lmp AS (SELECT bucket,
+                           length(bin((SELECT SUM(c) FROM pc)))
+                             - length(bin(c)) + 1 AS cost_p
+                    FROM pc),
+            nc AS (SELECT bucket, count(*) AS c FROM fb
+                   WHERE doc_id % 30 = 2 GROUP BY bucket),
+            lmn AS (SELECT bucket,
+                           length(bin((SELECT SUM(c) FROM nc)))
+                             - length(bin(c)) + 1 AS cost_n
+                    FROM nc),
+            oovp AS (SELECT COALESCE(length(bin((SELECT SUM(c) FROM pc))),
+                                     0) + 1 AS oov_p),
+            oovn AS (SELECT COALESCE(length(bin((SELECT SUM(c) FROM nc))),
+                                     0) + 1 AS oov_n),
+            s AS (SELECT doc_id, count(*) AS n_feats,
+                         SUM(COALESCE(cost_p, (SELECT oov_p FROM oovp)))
+                             AS bits_pos,
+                         SUM(COALESCE(cost_n, (SELECT oov_n FROM oovn)))
+                             AS bits_neg
+                  FROM fb LEFT JOIN lmp USING (bucket)
+                          LEFT JOIN lmn USING (bucket)
+                  GROUP BY doc_id)
+            SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+                   CAST(bits_pos AS BIGINT) AS bits_pos,
+                   CAST(bits_neg AS BIGINT) AS bits_neg,
+                   CAST(bits_neg - bits_pos AS BIGINT) AS score_bits,
+                   CASE WHEN bits_neg - bits_pos > 0 THEN 'keep'
+                        ELSE 'drop' END AS label
+            FROM s
         """,
         "host_boiler": f"""
             WITH src AS (

@@ -98,6 +98,8 @@ def main() -> None:
         "fetch_schedule",
         "change_rate",
         "lm_buckets",
+        "dsir_weights",
+        "nb_classify",
         "lang_rebalance",
         "host_boiler",
         "document_outline",
