@@ -820,27 +820,36 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al., 2023) over the corpus: the
     target distribution is the frozen clean-reference slice doc_id%10
-    ==0 (the same stand-in lm_buckets trains on), the raw distribution
-    is the full corpus, features are hashed word uni+bigrams (10^4
-    buckets), and weight_bits is the exact-integer log-likelihood
-    ratio bits_raw − bits_target. The oracle restates the hashing, the
-    two bucket bit-cost tables, and the per-doc sums in DuckDB — a
-    bucket-count or OOV-cost drift anywhere flips the md5."""
+    ==0 of the RAW corpus text (the same doc_id%10==0 predicate
+    lm_buckets uses, but over unrewritten text — lm_buckets trains on
+    its planted-regime rewrite), the raw distribution is the full
+    corpus, features are hashed word uni+bigrams (10^4 buckets), and
+    weight_bits is the exact-integer log-likelihood ratio bits_raw −
+    bits_target. target_pred (not a separate DataFrame) trains the
+    target LM on a filter of the ONE corpus feature explode — the
+    10^12-doc shape. The oracle restates the hashing, the two bucket
+    bit-cost tables, and the per-doc sums in DuckDB — a bucket-count
+    or OOV-cost drift anywhere flips the md5."""
     from webextract.operators.importance import log_ratio_scores
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    target = docs.filter(F.col("doc_id") % 10 == 0)
-    return log_ratio_scores(docs, target, docs)
+    return log_ratio_scores(
+        docs, None, docs, target_pred=F.col("doc_id") % 10 == 0
+    )
 
 
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes hashed-n-gram quality classification (the fastText
     keep/drop filter of CCNet/RedPajama) over planted regimes:
-    doc_id%3==2 docs are rewritten to per-doc gibberish (all-unique
-    tokens, lm_buckets' construction), the positive LM trains on the
-    natural slice doc_id%30==1, the negative LM on the gibberish slice
-    doc_id%30==2, and every doc is labeled keep/drop by the sign of
-    the integer log-odds score."""
+    doc_id%3==2 docs are rewritten to gibberish drawn from a SHARED
+    200-token pool (token i of doc d = 'zqx'||((d*31+i)%200)), the
+    positive LM trains on the natural slice doc_id%30==1, the negative
+    LM on the gibberish slice doc_id%30==2, and every doc is labeled
+    keep/drop by the sign of the integer log-odds score. The pool is
+    shared so HELD-OUT gibberish is in-model for the negative LM — the
+    label rests on trained signal, not on OOV-cost asymmetry between
+    two corpora that both miss every feature (per-doc-unique tokens
+    would sit near score 0, where hash collisions decide)."""
     from webextract.operators.importance import nb_classify
 
     docs = _docs(spark, sf_dir)
@@ -850,7 +859,8 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.sequence(F.lit(1), F.lit(30)),
             lambda i: F.concat(
-                F.lit("zq"), doc_id.cast("string"), F.lit("x"), i.cast("string")
+                F.lit("zqx"),
+                ((doc_id * 31 + i.cast("long")) % 200).cast("string"),
             ),
         ),
     )
@@ -2793,7 +2803,8 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             FROM b, c
         """,
         "dsir_weights": """
-            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+            WITH toks AS (SELECT doc_id,
+                                 string_split(COALESCE(text, ''), ' ') AS t
                           FROM documents),
             feats AS (
               SELECT doc_id, unnest(t) AS ng FROM toks
@@ -2839,9 +2850,9 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
               SELECT doc_id,
                 CASE WHEN doc_id % 3 = 2
                   THEN array_to_string(list_transform(range(1, 31),
-                    i -> 'zq' || CAST(doc_id AS VARCHAR) || 'x' ||
-                         CAST(i AS VARCHAR)), ' ')
-                  ELSE text END AS text
+                    i -> 'zqx' ||
+                         CAST((doc_id * 31 + i) % 200 AS VARCHAR)), ' ')
+                  ELSE COALESCE(text, '') END AS text
               FROM documents),
             toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src),
             feats AS (

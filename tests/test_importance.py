@@ -139,5 +139,31 @@ def test_plan_broadcasts_lms_and_stays_jvm(spark):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # partial aggregation collapses features map-side before the one
-    # doc_id shuffle
-    assert "partial_count" in plan or "HashAggregate" in plan
+    # doc_id shuffle — assert the partial-mode functions specifically
+    # (bare 'HashAggregate' is true of ANY aggregate plan)
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_target_pred_matches_explicit_target_slice(spark):
+    # the target_pred path (target LM trained on a FILTER of the one
+    # corpus feature explode) must score identically to passing the
+    # same slice as a separate target DataFrame
+    docs = _df(
+        spark,
+        [(i, f"w{i % 5} common tail t{i % 3}") for i in range(12)],
+    )
+    pred = F.col("doc_id") % 4 == 0
+    via_pred = log_ratio_scores(docs, None, docs, target_pred=pred)
+    via_df = log_ratio_scores(docs, docs.filter(pred), docs)
+    assert sorted(map(tuple, via_pred.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
+
+
+def test_null_text_doc_still_scored(spark):
+    # the documented invariant: NO doc drops out of the weight table,
+    # NULL text included (coalesced to the one empty-token feature)
+    docs = _df(spark, [(0, "a b"), (1, None)])
+    out = log_ratio_scores(docs, docs, docs).collect()
+    assert {r.doc_id for r in out} == {0, 1}
+    assert next(r.n_feats for r in out if r.doc_id == 1) == 1

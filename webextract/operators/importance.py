@@ -47,7 +47,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from webextract.operators.dedup import shingle_array
+from webextract.operators.lm import bit_cost_lm
 
 # DSIR's hashed n-gram dimensionality (Xie et al., 2023 use 10^4
 # buckets). Frozen so the broadcast table size is a constant at any
@@ -65,9 +68,10 @@ def hashed_buckets(
     bucket id is the engine-portable md5 prefix hash mod
     ``n_buckets``; the whole expression is JVM codegen (the in-row
     gram construction is dedup's :func:`shingle_array`, shared not
-    copied).
+    copied). NULL text coalesces to ``''`` (one empty-token feature)
+    so no document silently drops out of the feature table.
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     feats = F.concat(shingle_array(toks, 1), shingle_array(toks, 2))
     bucket = (
         F.conv(F.substring(F.md5(F.col("ng")), 1, 8), 16, 10).cast("long")
@@ -95,20 +99,16 @@ def bucket_lm(feats: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     The count table is checkpointed because it feeds both the total
     and the cost projection; the result is ≤ N_BUCKETS rows, meant to
-    be broadcast by the caller.
+    be broadcast by the caller. The cost construction itself is
+    lm.py's :func:`~webextract.operators.lm.bit_cost_lm` — shared,
+    not copied, so the load-bearing formula exists once.
     """
     counts = (
         feats.groupBy("bucket")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=False)
     )
-    tot = counts.agg(F.sum("c").alias("total"))
-    costs = counts.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (F.length(F.bin("total")) - F.length(F.bin("c")) + F.lit(1))
-        .cast("long")
-        .alias("cost"),
-    )
+    costs, tot = bit_cost_lm(counts, "bucket")
     oov = tot.select(
         (F.coalesce(F.length(F.bin("total")), F.lit(0)) + F.lit(1))
         .cast("long")
@@ -119,10 +119,11 @@ def bucket_lm(feats: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def log_ratio_scores(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     raw: DataFrame,
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Per-doc exact-integer log-likelihood ratio of two hashed-n-gram
     LMs: (doc_id, n_feats, bits_target, bits_raw, weight_bits) with
@@ -136,19 +137,34 @@ def log_ratio_scores(
     EMPTY training side degrades to uniform cost 1 (defined,
     signal-free) rather than NULL scores.
     Every doc has ≥1 feature (``split`` of an empty string yields one
-    empty token), so no doc silently drops out of the weight table.
+    empty token, and NULL text coalesces to empty), so no doc silently
+    drops out of the weight table.
+
+    When the target distribution is a SLICE of ``docs`` (the usual
+    DSIR shape: a clean-reference subset of the crawl being scored),
+    pass ``target_pred`` — a predicate over ``doc_id`` — instead of a
+    ``target`` DataFrame: the target LM then trains on a filter of the
+    already-computed corpus features, so the corpus is tokenized and
+    hashed ONCE (at 10^12 docs a separate ``target`` DataFrame would
+    repeat the explode+md5 over the whole slice).
     """
     feats = hashed_buckets(docs, text_col, n_buckets)
-    if raw is docs:
+    if raw is docs or target_pred is not None:
         # the DSIR shape (raw distribution = the scored corpus): the
-        # feature explode feeds BOTH the raw LM and the scoring join —
-        # checkpoint it once instead of letting Catalyst re-run the
-        # explode per branch (the lsh_pairs lesson)
+        # feature explode feeds the raw LM, the scoring join, and
+        # (under target_pred) the target LM — checkpoint it once
+        # instead of letting Catalyst re-run the explode per branch
+        # (the lsh_pairs lesson)
         feats = feats.localCheckpoint(eager=False)
-        raw_feats = feats
+    raw_feats = (
+        feats if raw is docs else hashed_buckets(raw, text_col, n_buckets)
+    )
+    if target_pred is not None:
+        t_feats = feats.filter(target_pred)
     else:
-        raw_feats = hashed_buckets(raw, text_col, n_buckets)
-    lm_t, oov_t = bucket_lm(hashed_buckets(target, text_col, n_buckets))
+        assert target is not None, "pass target or target_pred"
+        t_feats = hashed_buckets(target, text_col, n_buckets)
+    lm_t, oov_t = bucket_lm(t_feats)
     lm_r, oov_r = bucket_lm(raw_feats)
     lm_t = lm_t.withColumnRenamed("cost", "cost_t")
     lm_r = lm_r.withColumnRenamed("cost", "cost_r")

@@ -60,6 +60,24 @@ def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
     return docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token"))
 
 
+def bit_cost_lm(counts: DataFrame, key_col: str) -> tuple[DataFrame, DataFrame]:
+    """THE quantized bit-cost construction (module docstring formula),
+    shared by :func:`unigram_lm` and ``importance.bucket_lm`` so the
+    load-bearing expression exists exactly once: a ``(key, c)`` count
+    table becomes ``((key, cost BIGINT), one-row (total,))`` with
+    ``cost = length(bin(total)) − length(bin(c)) + 1``. Callers pass a
+    CHECKPOINTED counts table (it feeds the total branch here plus
+    whatever the caller derives from either output)."""
+    tot = counts.agg(F.sum("c").alias("total"))
+    costs = counts.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        (
+            F.length(F.bin("total")) - F.length(F.bin("c")) + F.lit(1)
+        ).cast("long").alias("cost"),
+    )
+    return costs, tot
+
+
 def unigram_lm(ref_docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Train the quantized unigram model: (token, cost BIGINT).
 
@@ -78,13 +96,8 @@ def unigram_lm(ref_docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=False)
     )
-    tot = counts.agg(F.sum("c").alias("total"))
-    return counts.crossJoin(F.broadcast(tot)).select(
-        "token",
-        (
-            F.length(F.bin("total")) - F.length(F.bin("c")) + F.lit(1)
-        ).cast("long").alias("cost"),
-    )
+    costs, _ = bit_cost_lm(counts, "token")
+    return costs
 
 
 def lm_score(docs: DataFrame, lm: DataFrame, text_col: str = "text") -> DataFrame:
