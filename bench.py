@@ -158,6 +158,18 @@ def main() -> None:
         "corpus_report",
         "pricing_summary",
         "orders_by_region",
+        # full-registry completeness: every queries() entry except the
+        # wall-clock lineage row gets a benched time
+        "links",
+        "pipeline_dedup",
+        "extract_eval",
+        "media_pages",
+        "union_sample",
+        "extract_lang_stats",
+        "topk_hosts",
+        "extract_blocks",
+        "layout_summary",
+        "simhash_clusters",
     ]
     per_query: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in headline:
