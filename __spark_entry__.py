@@ -341,6 +341,24 @@ def q_dedup_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the LSH banding's candidate pairs against
+    exact trigram-Jaccard ground truth (threshold 0.5) — the
+    det-metric eval (ppocr/metrics/det_metric.py:24-72) pointed at the
+    dedup stack itself. Runs the same hot-shingle guard as the
+    production jaccard query so the exact side stays an equi-join."""
+    return dedup.lsh_eval(
+        _docs_spread(spark, sf_dir), threshold=0.5, max_df=JACCARD_MAX_DF
+    )
+
+
+def q_shingle_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language trigram type/token diversity — the corpus
+    templating/duplication smell a training-data pipeline tracks per
+    language slice."""
+    return dedup.shingle_diversity(_docs_spread(spark, sf_dir))
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide line/sentence dedup (C4-style first-occurrence
     keep): docs rebuilt from surviving sentences."""
@@ -1839,11 +1857,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
         "hits": q_hits,
-        "pipeline_dedup": q_pipeline_dedup,
+        # lsh_recall / shingle_diversity: round-4 late additions; they
+        # take the window slots of extract_eval / pipeline_dedup (both
+        # pure compositions of operators UNCHANGED since their green
+        # r2 driver rows — rotated to the tail)
+        "lsh_recall": q_lsh_recall,
+        "shingle_diversity": q_shingle_diversity,
         "pipeline_clean": q_pipeline_clean,
         "pipeline_funnel": q_pipeline_funnel,
         "corpus_report": q_corpus_report,
-        "extract_eval": q_extract_eval,
         # -- new or semantically changed in round 4 --
         "span_eval": q_span_eval,
         "table_eval": q_table_eval,
@@ -1927,6 +1949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_delays": q_crawl_delays,
         "document_outline": q_document_outline,
+        # rotated out of the gate window for the round-4 late
+        # additions: both are compositions of operators unchanged
+        # since their green r2 driver rows
+        "pipeline_dedup": q_pipeline_dedup,
+        "extract_eval": q_extract_eval,
     }
 
 
@@ -3660,8 +3687,59 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        # lineage, ann_lsh, ann_ivf, emb_near_dup: intentionally no
-        # oracle (wall-clock / float sign buckets / trained quantizer).
+        "lsh_recall": f"""
+            {_MINHASH},
+            bands AS ({_BANDS_UNION}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id),
+            hot AS (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING COUNT(*) > {JACCARD_MAX_DF}),
+            kept AS (SELECT doc_id, shingle FROM sh
+                     WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM kept a JOIN kept b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            truth AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(i AS DOUBLE)
+                    / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+            c AS (SELECT
+                    (SELECT COUNT(*) FROM truth) AS n_truth,
+                    (SELECT COUNT(*) FROM cand) AS n_cand,
+                    (SELECT COUNT(*) FROM truth t JOIN cand c2
+                       ON t.doc_a = c2.doc_a AND t.doc_b = c2.doc_b)
+                        AS n_hit)
+            SELECT n_truth, n_cand, n_hit,
+                   CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                       AS recall,
+                   CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+                       AS lsh_precision,
+                   2.0 * CAST(n_hit AS DOUBLE)
+                       / CAST(n_truth + n_cand AS DOUBLE) AS hmean
+            FROM c
+        """,
+        "shingle_diversity": f"""
+            WITH {_SHINGLES3},
+            j AS (SELECT sh.doc_id, sh.shingle, d.lang
+                  FROM sh JOIN documents d ON d.doc_id = sh.doc_id)
+            SELECT lang,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_instances,
+                   COUNT(DISTINCT shingle) AS n_types,
+                   CAST(COUNT(DISTINCT shingle) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS ttr
+            FROM j GROUP BY lang
+        """,
+        # lineage: intentionally no oracle (wall-clock timings).
     }
 
 

@@ -1275,3 +1275,66 @@ def test_domain_blocklist_strips_whatwg_whitespace(spark):
     )
     out = domain_blocklist(pages, blocked=("bad.example",)).collect()
     assert all(not r.keep and r.host == "bad.example" for r in out)
+
+
+# -- lsh_eval / shingle_diversity --------------------------------------------
+
+def test_lsh_eval_perfect_on_exact_duplicates(spark):
+    # docs 1,2 identical -> jaccard 1.0 ground truth AND guaranteed LSH
+    # collision (identical signatures agree on every band); doc 3 disjoint.
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "w1 w2 w3 w4 w5 w6"),
+            (3, "x1 x2 x3 x4 x5 x6"),
+        ],
+        ["doc_id", "text"],
+    )
+    row = dedup.lsh_eval(df, threshold=0.5).collect()[0]
+    assert row["n_truth"] == 1
+    assert row["n_hit"] == 1
+    assert row["recall"] == 1.0
+    # no disjoint pair may be a ground-truth pair; candidates can in
+    # principle include band collisions, but precision is consistent
+    assert row["n_cand"] >= 1
+    assert row["lsh_precision"] == row["n_hit"] / row["n_cand"]
+    assert row["hmean"] == 2.0 * row["n_hit"] / (row["n_truth"] + row["n_cand"])
+
+
+def test_lsh_eval_counts_near_duplicate_truth(spark):
+    base = "the cat sat on the mat and looked out of the window today"
+    near = base + " quietly"  # trigram jaccard 11/12 >= 0.5
+    far = "completely different words compose this other document here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    row = dedup.lsh_eval(df, threshold=0.5).collect()[0]
+    assert row["n_truth"] == 1          # only (1,2)
+    assert row["n_hit"] == 1            # LSH catches it (pinned above)
+    assert row["recall"] == 1.0
+
+
+def test_lsh_eval_on_fixture_is_sane(docs):
+    row = dedup.lsh_eval(docs, threshold=0.5).collect()[0]
+    assert row["n_truth"] > 0           # planted duplicates exist
+    assert 0.0 <= row["recall"] <= 1.0
+    assert 0.0 <= row["lsh_precision"] <= 1.0
+    # exact duplicates collide on every band: recall can't be 0
+    assert row["n_hit"] > 0
+
+
+def test_shingle_diversity_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "en"),   # shingles {a b c, b c d}
+            (2, "a b c d", "en"),   # same two shingles again
+            (3, "x y z", "de"),     # shingle {x y z}
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {r["lang"]: r for r in dedup.shingle_diversity(df).collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en["n_docs"], en["n_instances"], en["n_types"]) == (2, 4, 2)
+    assert en["ttr"] == 0.5
+    assert (de["n_docs"], de["n_instances"], de["n_types"]) == (1, 1, 1)
+    assert de["ttr"] == 1.0

@@ -818,3 +818,98 @@ def cluster_keep_best(
     return clustered.withColumn(
         "is_keeper", F.row_number().over(w) == 1
     )
+
+
+def lsh_eval(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = SHINGLE_N,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate-generation quality of MinHash-LSH banding, measured
+    against exact n-gram-Jaccard ground truth — the reference's
+    det-metric discipline (pred regions matched to gt by IoU, corpus
+    precision/recall/hmean, ppocr/metrics/det_metric.py:24-72 over
+    eval_det_iou.py) applied to the dedup stack: :func:`lsh_pairs`
+    candidates are the "detections", pairs with exact Jaccard >=
+    ``threshold`` the ground truth.
+
+    Returns ONE row: (n_truth, n_cand, n_hit, recall, lsh_precision,
+    hmean). Ratios are single IEEE divisions of exact counts
+    (oracle-portable); ``lsh_precision`` because a bare ``precision``
+    column name risks the DOUBLE PRECISION keyword.
+
+    Scale: the exact-Jaccard side is the quadratic one — at corpus
+    scale this eval runs on a SAMPLE (like the reference evaluating on
+    a 500-image set, not the training crawl); ``max_df`` applies the
+    same hot-shingle guard as the production query if the sample still
+    needs it. Both sides share one cached ``docs``.
+    """
+    docs = docs.localCheckpoint(eager=False)
+    truth = ngram_jaccard_pairs(docs, n=n, threshold=threshold, max_df=max_df).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    cand = lsh_pairs(docs, k, bands, n).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_cand")
+    )
+    # full outer on the pair key: sum(in_truth*in_cand) counts pairs
+    # present on BOTH sides (NULL from the outer join annihilates).
+    counts = (
+        truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce(F.sum("in_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce(
+                F.sum(F.col("in_truth") * F.col("in_cand")), F.lit(0)
+            ).cast("long").alias("n_hit"),
+        )
+    )
+    recall = F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+    prec = F.col("n_hit").cast("double") / F.col("n_cand").cast("double")
+    return counts.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        recall.alias("recall"),
+        prec.alias("lsh_precision"),
+        (
+            F.lit(2.0)
+            * F.col("n_hit").cast("double")
+            / (F.col("n_truth") + F.col("n_cand")).cast("double")
+        ).alias("hmean"),
+    )
+
+
+def shingle_diversity(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Per-language corpus diversity: type/token ratio over word
+    n-gram shingles — (lang, n_docs, n_instances, n_types, ttr) where
+    ``n_instances`` counts per-doc DISTINCT shingles summed over docs
+    and ``n_types`` counts corpus-wide distinct shingles. A collapsing
+    ttr (types growing sublinearly vs instances) is the standard
+    duplication/templating smell a training-data pipeline watches per
+    language slice.
+
+    Plan shape: one shingle explode -> two-level agg (partial
+    count-distinct map-side); ttr is one IEEE division of exact ints.
+    """
+    sh = shingles(docs, n).join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        sh.groupBy("lang")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.count("*").alias("n_instances"),
+            F.count_distinct(F.col("shingle")).alias("n_types"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_instances",
+            "n_types",
+            (
+                F.col("n_types").cast("double")
+                / F.col("n_instances").cast("double")
+            ).alias("ttr"),
+        )
+    )
