@@ -255,8 +255,14 @@ def q_table_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition lineage aggregate (the time_dict analog). Rows-only
-    check: wall-clock ms is non-deterministic by nature."""
+    """Per-partition lineage aggregate (the time_dict analog,
+    tools/infer/utility.py's per-stage accounting). The per-partition
+    rows carry wall-clock ``extract_ms`` (non-deterministic) and
+    ``partition_id`` (runtime-parallelism-dependent); the DETERMINISTIC
+    content — pages seen, html bytes read, blocks kept — is their sums,
+    which the oracle states straight from ``documents`` via the frozen
+    template arithmetic (2 kept blocks per page). This pins that the
+    lineage side-channel neither drops nor double-counts a partition."""
     pages = pages_from_documents(spark, sf_dir)
     nparts = max(2, spark.sparkContext.defaultParallelism // 2)
     uni = extract_pages_with_lineage(salted_repartition(pages, nparts))
@@ -265,7 +271,6 @@ def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("urls_in").alias("urls_in"),
         F.sum("bytes_in").alias("bytes_in"),
         F.sum("blocks_kept").alias("blocks_kept"),
-        F.count("*").alias("n_partitions"),
     )
 
 
@@ -3739,7 +3744,18 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                        / CAST(COUNT(*) AS DOUBLE) AS ttr
             FROM j GROUP BY lang
         """,
-        # lineage: intentionally no oracle (wall-clock timings).
+        # lineage sums are template arithmetic: every page is seen once
+        # (urls_in = page count), bytes_in = the UTF-8 octet length of
+        # the synthesized html, blocks_kept = the 2 kept template
+        # blocks (h1 + p — layout_summary's kept_per_page) per page.
+        "lineage": f"""
+            WITH h AS (SELECT {_PAGE_HTML} AS html FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS urls_in,
+                   CAST(SUM(octet_length(encode(html))) AS BIGINT)
+                       AS bytes_in,
+                   CAST(2 * COUNT(*) AS BIGINT) AS blocks_kept
+            FROM h
+        """,
     }
 
 

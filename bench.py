@@ -170,6 +170,8 @@ def main() -> None:
         "extract_blocks",
         "layout_summary",
         "simhash_clusters",
+        "lsh_recall",
+        "shingle_diversity",
     ]
     per_query: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in headline:

@@ -16,10 +16,12 @@ def test_oracle_keys_subset_of_queries():
     assert not missing, f"oracles without queries: {sorted(missing)}"
 
 
-def test_rows_only_is_exactly_lineage():
+def test_every_query_is_oracle_backed():
+    """Round 5: the last rows-only query (lineage) gained an oracle —
+    every registry entry must now have an oracle_sql twin."""
     qs, osql = e.queries(), e.oracle_sql()
     rows_only = [q for q in qs if q not in osql]
-    assert rows_only == ["lineage"]
+    assert rows_only == []
 
 
 def test_gate_window_covers_every_unchecked_query():

@@ -76,15 +76,26 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    n: int = SHINGLE_N,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """MinHash signatures: mh_i = min over shingles of md5(i || ':' || shingle).
 
     One pass over the exploded shingle set computes all k mins as
     parallel aggregates (partial min map-side, one shuffle on doc_id).
     md5-as-string min is the portable stand-in for k independent hash
     permutations; collision behavior matches a 128-bit hash family.
+
+    ``sh`` lets a caller that already materialized the (doc_id,
+    shingle) explode (the most expensive stage of the whole stack)
+    share it instead of recomputing — e.g. :func:`lsh_eval`, whose
+    truth and candidate sides otherwise each run their own explode.
     """
-    sh = shingles(docs, n)
+    if sh is None:
+        sh = shingles(docs, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
@@ -97,6 +108,7 @@ def lsh_band_table(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     n: int = SHINGLE_N,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, bh): the LSH band-bucket index of a corpus —
     the join key space of :func:`lsh_pairs`, exposed so OTHER lookups
@@ -105,7 +117,7 @@ def lsh_band_table(
     against this table as the static index)."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(docs, k, n)
+    sig = minhash_signatures(docs, k, n, sh=sh)
     band_rows = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -123,6 +135,7 @@ def lsh_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     n: int = SHINGLE_N,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs agreeing on ALL
     rows of any band collide. The pair join is an equi-join on
@@ -135,7 +148,7 @@ def lsh_pairs(
     assert k % bands == 0
     # both self-join sides read the band table; checkpoint so the
     # minhash aggregation underneath runs once, not twice
-    bt = lsh_band_table(docs, k, bands, n).localCheckpoint(eager=False)
+    bt = lsh_band_table(docs, k, bands, n, sh=sh).localCheckpoint(eager=False)
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -151,7 +164,11 @@ def lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 1, threshold: float = 0.8, max_df: int | None = None
+    docs: DataFrame,
+    n: int = 1,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -176,7 +193,9 @@ def ngram_jaccard_pairs(
     # this query. At scale this is the deliberate trade: storing the
     # shingle set beats recomputing it per branch; executor loss costs
     # a job retry (unreliable checkpoint), which dedup jobs tolerate.
-    sh = shingles(docs, n).localCheckpoint(eager=False)
+    # A caller-provided ``sh`` is assumed already checkpointed.
+    if sh is None:
+        sh = shingles(docs, n).localCheckpoint(eager=False)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -834,7 +853,10 @@ def lsh_eval(
     precision/recall/hmean, ppocr/metrics/det_metric.py:24-72 over
     eval_det_iou.py) applied to the dedup stack: :func:`lsh_pairs`
     candidates are the "detections", pairs with exact Jaccard >=
-    ``threshold`` the ground truth.
+    ``threshold`` the ground truth. Both sides consume ONE shared
+    checkpointed (doc_id, shingle) explode — the most expensive stage
+    — via the ``sh`` pass-through, so it is computed once, not per
+    side.
 
     Returns ONE row: (n_truth, n_cand, n_hit, recall, lsh_precision,
     hmean). Ratios are single IEEE divisions of exact counts
@@ -845,13 +867,13 @@ def lsh_eval(
     scale this eval runs on a SAMPLE (like the reference evaluating on
     a 500-image set, not the training crawl); ``max_df`` applies the
     same hot-shingle guard as the production query if the sample still
-    needs it. Both sides share one cached ``docs``.
+    needs it.
     """
-    docs = docs.localCheckpoint(eager=False)
-    truth = ngram_jaccard_pairs(docs, n=n, threshold=threshold, max_df=max_df).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_truth")
-    )
-    cand = lsh_pairs(docs, k, bands, n).select(
+    sh = shingles(docs, n).localCheckpoint(eager=False)
+    truth = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, max_df=max_df, sh=sh
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_truth"))
+    cand = lsh_pairs(docs, k, bands, n, sh=sh).select(
         "doc_a", "doc_b", F.lit(1).alias("in_cand")
     )
     # full outer on the pair key: sum(in_truth*in_cand) counts pairs

@@ -162,7 +162,8 @@ def log_ratio_scores(
     if target_pred is not None:
         t_feats = feats.filter(target_pred)
     else:
-        assert target is not None, "pass target or target_pred"
+        if target is None:
+            raise ValueError("pass target or target_pred")
         t_feats = hashed_buckets(target, text_col, n_buckets)
     lm_t, oov_t = bucket_lm(t_feats)
     lm_r, oov_r = bucket_lm(raw_feats)
