@@ -1368,6 +1368,24 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(_docs_spread(spark, sf_dir), n_merges=8)
 
 
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-tokenizer application to held-out data — the
+    train-once/apply-forever seam every production pipeline has (the
+    reference's exact analog: a fixed dict loaded once and applied at
+    every decode, ppocr/postprocess/rec_postprocess.py:29-55): train
+    the 8-merge tokenizer on the doc_id%10==0 slice, then encode the
+    OTHER 90% with the frozen (merges, vocabulary) artifacts. Held-out
+    words absent from the training vocabulary exist by construction
+    and take the merge-replay fallback; the oracle replays the merge
+    list uniformly over ALL held-out words, so a hash match also
+    proves the vocabulary-join path and the replay path agree."""
+    docs = _docs_spread(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 == 0)
+    held = docs.filter(F.col("doc_id") % 10 != 0)
+    merges, tvocab = bpe.bpe_train(train, n_merges=8)
+    return bpe.bpe_apply(held, merges, vocab=tvocab)
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index phrase query ("table hash"): term-filtered
     positions + adjacency equi-joins on (doc_id, position). The
@@ -1888,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
+        "bpe_apply": q_bpe_apply,
         "kmeans_assign": q_kmeans_assign,
         # -- position 51+: just past the 50-row window edge --
         # pricing_summary and orders_by_region are double-green (r1+r2
@@ -3255,6 +3274,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         "bpe_merges": _bpe_merges_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "bpe_apply": _bpe_apply_sql(),
         "kmeans_assign": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
         "ann_ivf": _ann_ivf_sql(),
@@ -3770,7 +3790,7 @@ _EDGES_CTE = f"""
          FROM e0 GROUP BY 1, 2)"""
 
 
-def _bpe_ctes(n_merges: int = 8) -> str:
+def _bpe_ctes(n_merges: int = 8, where: str = "") -> str:
     """Unrolled BPE learning as recursive CTEs — the SQL restatement
     of operators/bpe.py. Per round k: p{k} counts adjacent pairs by
     1-indexed position enumeration (overlapping, weighted by word
@@ -3810,7 +3830,7 @@ def _bpe_ctes(n_merges: int = 8) -> str:
     return f"""WITH RECURSIVE
   w AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text), '{vocab.WORD_REGEX}'))
                    AS word
-        FROM documents),
+        FROM documents {where}),
   v0 AS MATERIALIZED (SELECT array_to_string(regexp_extract_all(word, '{bpe.SYM_REGEX}'),
                                 ' ') AS syms,
                 COUNT(*) AS cnt
@@ -3861,6 +3881,52 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
 SELECT doc_id, n_words, n_tokens,
        CAST(n_tokens AS DOUBLE) / n_words AS tokens_per_word
 FROM a"""
+
+
+def _bpe_apply_sql(n_merges: int = 8) -> str:
+    """bpe_apply oracle: learn b1..b{n} from the doc_id%10==0 TRAIN
+    slice (the same unrolled CTEs, corpus-filtered), then tokenize
+    every DISTINCT held-out word by replaying the merge list in
+    learning order — each merge the same first-occurrence
+    regexp_replace fixpoint (= greedy left-to-right) the training
+    CTEs use. The replay is applied uniformly to ALL held-out words
+    (no vocabulary lookup), so equality with the Spark result — whose
+    in-vocab words resolve through the trained-vocabulary LEFT join —
+    also proves the two Spark paths compute the same function."""
+    its = []
+    for k in range(1, n_merges + 1):
+        its.append(f"""
+  ha{k} AS (SELECT word, ' ' || syms || ' ' AS s,
+                   ' ' || b.l || ' ' || b.r || ' ' AS pat,
+                   ' ' || b.l || b.r || ' ' AS rep
+            FROM hs{k - 1} CROSS JOIN b{k} b
+            UNION ALL
+            SELECT word, regexp_replace(s, pat, rep), pat, rep
+            FROM ha{k} WHERE strpos(s, pat) > 0),
+  hs{k} AS MATERIALIZED (SELECT word, trim(s) AS syms FROM ha{k}
+            WHERE strpos(s, pat) = 0
+            UNION ALL
+            SELECT word, syms FROM hs{k - 1}
+            WHERE NOT EXISTS (SELECT 1 FROM b{k}))""")
+    return f"""{_bpe_ctes(n_merges, where="WHERE doc_id % 10 = 0")},
+  hdw AS MATERIALIZED (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                                           '{vocab.WORD_REGEX}')) AS word
+          FROM documents WHERE doc_id % 10 <> 0),
+  pdw AS (SELECT doc_id, word, COUNT(*) AS k FROM hdw GROUP BY 1, 2),
+  hs0 AS MATERIALIZED (SELECT DISTINCT word,
+                 array_to_string(regexp_extract_all(word,
+                                                    '{bpe.SYM_REGEX}'),
+                                 ' ') AS syms
+          FROM hdw),{",".join(its)},
+  hmap AS (SELECT word, len(string_split(syms, ' ')) AS n_syms
+           FROM hs{n_merges}),
+  happ AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+                  CAST(SUM(k * n_syms) AS BIGINT) AS n_tokens
+           FROM pdw JOIN hmap USING (word) GROUP BY doc_id)
+SELECT doc_id, n_words, n_tokens,
+       CAST(n_tokens AS DOUBLE) / n_words AS tokens_per_word
+FROM happ"""
 
 
 def _kmeans_ctes(k: int, n_iter: int, src: str = "embeddings") -> str:

@@ -192,3 +192,115 @@ def test_bpe_encode_matches_reference(spark):
         for r in bpe_encode(_docs(spark, texts), n_merges=6).collect()
     }
     assert got == expected
+
+
+def _ref_apply(word, merges):
+    """Frozen apply, Python reference: replay the learned merges in
+    order, each greedy left-to-right — the train-consistent
+    convention bpe._replay_merges implements."""
+    vocab = {" ".join(word): 1}
+    for _, l, r, _, _ in merges:
+        vocab = _ref_merge(vocab, (l, r))
+    (syms,) = vocab
+    return syms.split(" ")
+
+
+def _ref_encode(texts, merges):
+    import re
+
+    out = {}
+    for i, t in enumerate(texts):
+        words = re.findall("[a-z]+", t.lower())
+        toks = sum(len(_ref_apply(w, merges)) for w in words)
+        out[i] = (len(words), toks, toks / len(words))
+    return out
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the mats that the cats sat on",
+    "that cat, that hat!",
+]
+# held-out docs with OOV words by construction (zebra, quokka, ...)
+HELD = [
+    "the zebra sat on that quokka",
+    "chatty cats chat that chattel",
+    "a lone unseeable xylophone",
+]
+
+
+def test_bpe_apply_heldout_matches_reference(spark):
+    """A tokenizer FROZEN on the training slice, applied to held-out
+    text containing words training never saw, matches the Python
+    merge-order replay word for word."""
+    from webextract.operators.bpe import bpe_apply, bpe_train
+
+    ref_merges, _ = _ref_learn(TRAIN, 6)
+    merges, vocab = bpe_train(_docs(spark, TRAIN), n_merges=6)
+    expected = _ref_encode(HELD, ref_merges)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.tokens_per_word)
+        for r in bpe_apply(_docs(spark, HELD), merges, vocab=vocab).collect()
+    }
+    assert got == expected
+
+
+def test_bpe_apply_vocab_and_replay_paths_agree(spark):
+    """The LEFT-join vocabulary path and the merge-replay fallback are
+    the same function: encoding held-out text with and without the
+    trained vocabulary gives identical results (in-vocab words take
+    different code paths in the two runs)."""
+    from webextract.operators.bpe import bpe_apply, bpe_train
+
+    merges, vocab = bpe_train(_docs(spark, TRAIN), n_merges=6)
+    held = _docs(spark, HELD + TRAIN)  # both OOV and trained words
+    with_vocab = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(held, merges, vocab=vocab).collect()
+    }
+    replay_only = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(held, merges, vocab=None).collect()
+    }
+    assert with_vocab == replay_only
+
+
+def test_bpe_apply_empty_merge_table(spark):
+    """Zero learned merges → every word tokenizes to its characters
+    (the replay over an empty merge array is the identity)."""
+    from webextract.operators.bpe import bpe_apply, bpe_train
+
+    merges, vocab = bpe_train(_docs(spark, ["q x"]), n_merges=0)
+    got = {
+        r.doc_id: r.n_tokens
+        for r in bpe_apply(_docs(spark, ["abc de f"]), merges).collect()
+    }
+    assert got == {0: 6}
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=10
+    ),
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=10
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_apply_property(spark, train_words, held_words):
+    """Random tiny-alphabet corpora (heavy merge collisions, heavy
+    OOV): frozen apply to held-out text matches the Python replay."""
+    from webextract.operators.bpe import bpe_apply, bpe_train
+
+    train_texts = [" ".join(train_words)]
+    held_texts = [" ".join(held_words)]
+    ref_merges, _ = _ref_learn(train_texts, 4)
+    merges, vocab = bpe_train(_docs(spark, train_texts), n_merges=4)
+    expected = _ref_encode(held_texts, ref_merges)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.tokens_per_word)
+        for r in bpe_apply(
+            _docs(spark, held_texts), merges, vocab=vocab
+        ).collect()
+    }
+    assert got == expected

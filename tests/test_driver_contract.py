@@ -26,13 +26,14 @@ def test_every_query_is_oracle_backed():
 
 def test_gate_window_covers_every_unchecked_query():
     """Every query without a green driver CORRECTNESS row from rounds
-    1-3 must sit inside the 50-row gate window (registry order)."""
+    1-4 must sit inside the 50-row gate window (registry order)."""
     qs = list(e.queries())
     checked = set()
     for f in (
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         path = os.path.join(REPO, f)
         if os.path.exists(path):

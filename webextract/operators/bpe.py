@@ -115,57 +115,126 @@ def _apply_merge(vocab: DataFrame, best: DataFrame) -> DataFrame:
         F.aggregate(
             F.split(F.col("syms"), " "),
             F.lit(""),
-            _fold_step,
+            _fold_step_for(F.col("l"), F.col("r")),
         ).alias("syms"),
         "cnt",
     )
 
 
-def _fold_step(acc: Column, y: Column) -> Column:
-    # last symbol of the accumulated string (acc itself when no space)
-    last = F.substring_index(acc, " ", -1)
-    prefix = F.left(acc, F.length(acc) - F.length(last))
-    return (
-        F.when(acc == "", y)
-        .when(
-            (last == F.col("l")) & (y == F.col("r")),
-            F.concat(prefix, F.col("l"), F.col("r")),
+def _fold_step_for(l: Column, r: Column):
+    """Greedy left-to-right single-merge fold step, parameterized over
+    the (l, r) pair source — a plain column for the training join, an
+    outer-lambda struct field for the frozen replay. Closure factory
+    (not default args) because PySpark introspects lambda arity."""
+
+    def step(acc: Column, y: Column) -> Column:
+        # last symbol of the accumulated string (acc itself if no space)
+        last = F.substring_index(acc, " ", -1)
+        prefix = F.left(acc, F.length(acc) - F.length(last))
+        return (
+            F.when(acc == "", y)
+            .when((last == l) & (y == r), F.concat(prefix, l, r))
+            .otherwise(F.concat(acc, F.lit(" "), y))
         )
-        .otherwise(F.concat(acc, F.lit(" "), y))
-    )
+
+    return step
 
 
-def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
-    """Learn ``n_merges`` BPE merges → (step, left_sym, right_sym,
-    merged, pair_cnt), step 1-based in learning order.
+def _replay_merges(syms: Column, ms: Column) -> Column:
+    """Apply a FROZEN ordered merge list (``ms``: array<struct<l,r>> in
+    learning order) to one space-joined symbol string — merge-order
+    replay, each merge greedy left-to-right: exactly the function
+    training applied to every vocabulary word, so a word that WAS in
+    the training corpus replays to its trained tokenization, and an
+    unseen word gets the tokenization it would have received had it
+    been present (with zero count). This is deliberately the
+    train-consistent convention; the rank-priority apply order used by
+    some tokenizer libraries coincides with it on every word the
+    training corpus contains.
 
-    Each round's argmax row is eagerly localCheckpoint-ed (it is ONE
-    row) so the output union and the next round's fold both reuse it
-    without recomputing the pair aggregation, and the vocabulary is
-    checkpointed per round to keep lineage O(1)."""
+    Two nested JVM ``aggregate`` folds (outer over merges, inner over
+    the word's symbols) — RUNTIME loops, so the compiled expression
+    stays constant-size no matter how many merges (the heading_paths
+    lesson). No Python crosses the boundary."""
+
+    def one_merge(acc: Column, m: Column) -> Column:
+        return F.aggregate(
+            F.split(acc, " "), F.lit(""), _fold_step_for(m["l"], m["r"])
+        )
+
+    return F.aggregate(ms, syms, one_merge)
+
+
+def _learn_rounds(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared training loop: → ([per-step 1-row argmax frames in
+    learning order], final vocabulary). Each round's argmax row is
+    eagerly localCheckpoint-ed (it is ONE row) so the merge-table
+    union and the next round's fold both reuse it without recomputing
+    the pair aggregation, and the vocabulary is checkpointed per round
+    to keep lineage O(1)."""
     vocab = word_freq(docs).localCheckpoint(eager=False)
-    steps = []
-    for step in range(1, n_merges + 1):
+    bests = []
+    for _ in range(n_merges):
         best = (
             _pair_counts(vocab)
             .orderBy(F.desc("pair_cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
             .localCheckpoint()
         )
-        steps.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.concat("l", "r").alias("merged"),
-                "pair_cnt",
-            )
-        )
+        bests.append(best)
         vocab = _apply_merge(vocab, best).localCheckpoint(eager=False)
+    return bests, vocab
+
+
+def _merge_table(bests: list[DataFrame]) -> DataFrame:
+    """Step-numbered merge table from the per-round argmax rows →
+    (step, left_sym, right_sym, merged, pair_cnt), step 1-based."""
+    steps = [
+        best.select(
+            F.lit(step).alias("step"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.concat("l", "r").alias("merged"),
+            "pair_cnt",
+        )
+        for step, best in enumerate(bests, start=1)
+    ]
     out = steps[0]
     for s in steps[1:]:
         out = out.union(s)
     return out
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Train once, return BOTH tokenizer artifacts sharing one run of
+    the merge rounds: the merge table (what :func:`bpe_learn`
+    returns) and the trained vocabulary (the word-frequency table
+    after all merges, ``(syms, cnt)``). A deployment persists these
+    two tables and tokenizes every later crawl with
+    :func:`bpe_apply` — training never reruns on held-out data.
+
+    ``n_merges=0`` is legal (characters-only tokenizer): the merge
+    table comes back empty with the usual schema."""
+    bests, vocab = _learn_rounds(docs, n_merges)
+    if not bests:
+        empty = docs.sparkSession.createDataFrame(
+            [],
+            "step INT, left_sym STRING, right_sym STRING, "
+            "merged STRING, pair_cnt BIGINT",
+        )
+        return empty, vocab
+    return _merge_table(bests), vocab
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Learn ``n_merges`` BPE merges → (step, left_sym, right_sym,
+    merged, pair_cnt), step 1-based in learning order."""
+    merges, _ = bpe_train(docs, n_merges)
+    return merges
 
 
 def _merged_vocab(docs: DataFrame, n_merges: int) -> DataFrame:
@@ -174,15 +243,7 @@ def _merged_vocab(docs: DataFrame, n_merges: int) -> DataFrame:
     :func:`bpe_vocab` (inventory stats) and :func:`bpe_encode`
     (corpus application); at 10^12 pages this table is what a
     deployment persists once and reuses."""
-    vocab = word_freq(docs).localCheckpoint(eager=False)
-    for _ in range(n_merges):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("pair_cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .localCheckpoint()
-        )
-        vocab = _apply_merge(vocab, best).localCheckpoint(eager=False)
+    _, vocab = _learn_rounds(docs, n_merges)
     return vocab
 
 
@@ -211,44 +272,97 @@ def bpe_vocab(docs: DataFrame, n_merges: int = 8, k: int = 20) -> DataFrame:
     )
 
 
-def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
-    """Apply the learned tokenizer to the corpus — the encode pass a
-    training-data pipeline runs over every document once the merges
-    are frozen (the reference analog is the per-image dict lookup in
-    ppocr/postprocess/rec_postprocess.py:55-88: a trained inventory
-    applied row-by-row at inference). Output per document: word
-    count, BPE token count under the ``n_merges``-merge tokenizer,
-    and tokens_per_word (one IEEE division of exact ints — the
-    hash-portable compression ratio the sampling/packing operators
-    consume as a cost signal).
-
-    The word → tokenization mapping needs no second derivation:
-    merges only ever concatenate adjacent symbols, so stripping the
-    spaces from a merged symbol string recovers the original word —
-    the trained vocabulary table IS the mapping.
-
-    Scale shape: the corpus is reduced to (doc_id, word, k) by a
-    partial-agg groupBy before touching the vocabulary, so the join
-    input is distinct words per document, not word instances; the
-    mapping side is vocabulary-sized (~10^7-10^8 at 10^12 pages) and
-    joins by word equi-key. Hot words ("the") make (word) a skewed
-    join key — the pre-aggregation caps that at one row per
-    (document, word), and AQE's skew-join split handles the residual
-    imbalance; no window, no collect, no Python."""
-    mapping = _merged_vocab(docs, n_merges).select(
-        F.replace(F.col("syms"), F.lit(" "), F.lit("")).alias("word"),
-        F.size(F.split("syms", " ")).alias("n_syms"),
+def merge_table_array(merges: DataFrame) -> DataFrame:
+    """The merge table as ONE row ``(ms: array<struct<l,r>>)`` in step
+    order — the broadcastable frozen-tokenizer artifact
+    :func:`_replay_merges` folds. ``array_sort`` on the (step, l, r)
+    struct orders by step (lexicographic struct compare, step first
+    and unique), driver-free; empty merge tables become an empty
+    array (replay = identity)."""
+    sorted_steps = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("step").alias("step"),
+                F.col("left_sym").alias("l"),
+                F.col("right_sym").alias("r"),
+            )
+        )
     )
+    return merges.agg(sorted_steps.alias("ms_s")).select(
+        F.transform(
+            F.col("ms_s"), lambda m: F.struct(m["l"].alias("l"), m["r"].alias("r"))
+        ).alias("ms")
+    )
+
+
+def bpe_apply(
+    docs: DataFrame, merges: DataFrame, vocab: DataFrame | None = None
+) -> DataFrame:
+    """Tokenize a corpus with a FROZEN tokenizer — the inference-side
+    apply the reference performs by loading a fixed dict and decoding
+    against it (ppocr/postprocess/rec_postprocess.py:29-55): the
+    merge table ``merges`` (a :func:`bpe_learn` / :func:`bpe_train`
+    output, possibly trained on LAST month's crawl) is applied to
+    ``docs`` without any retraining. Output per document: word count,
+    BPE token count, tokens_per_word (one IEEE division of exact
+    ints).
+
+    Totality: every distinct corpus word gets a token count. Words in
+    the optional trained ``vocab`` (the ``(syms, cnt)`` table from
+    :func:`bpe_train`) resolve by a LEFT equi-join — stripping the
+    spaces from a merged symbol string recovers the word, so the
+    vocabulary IS the word→tokenization map. Words the training
+    corpus never saw (the join's NULL side) fall back to
+    :func:`_replay_merges`: the merge list replayed in learning order
+    over the word's character symbols — the identical function
+    training applied, so the two paths agree on every in-vocab word
+    (pinned by test). With ``vocab=None`` every word takes the replay
+    path.
+
+    Scale shape: the corpus reduces to (doc_id, word, k) by a
+    partial-agg groupBy, then to DISTINCT words before any expensive
+    work — the replay fold and the vocabulary join both run on
+    vocabulary-sized tables (~10^7-10^8 rows at 10^12 pages), never
+    on word instances. The merge array broadcasts as one row; the
+    replay is a constant-size compiled expression with runtime loops
+    (n_merges × word length), and ``coalesce`` short-circuits it for
+    every word the vocabulary join already resolved — at production
+    merge counts the fold runs only over the OOV tail. Hot words
+    ("the") make (word) a skewed join key — the pre-aggregation caps
+    that at one row per (document, word), and AQE's skew-join split
+    handles the residual imbalance; no window, no collect, no
+    Python."""
+    ms_row = merge_table_array(merges).localCheckpoint()
     words = docs.select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_REGEX), 0)
         ).alias("word"),
     )
-    per_doc_word = words.groupBy("doc_id", "word").agg(
-        F.count("*").alias("k")
+    # feeds the distinct-word table AND the final join: checkpoint so
+    # the corpus explode+agg runs once, not per branch
+    per_doc_word = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
     )
-    joined = per_doc_word.join(mapping, "word")
+    dw = per_doc_word.select("word").distinct()
+    if vocab is not None:
+        mapping = vocab.select(
+            F.replace(F.col("syms"), F.lit(" "), F.lit("")).alias("word"),
+            F.size(F.split("syms", " ")).alias("n_syms_v"),
+        )
+        dw = dw.join(mapping, "word", "left")
+    else:
+        dw = dw.withColumn("n_syms_v", F.lit(None).cast("int"))
+    char_syms = F.array_join(
+        F.regexp_extract_all(F.col("word"), F.lit(SYM_REGEX), 0), " "
+    )
+    replayed_n = F.size(F.split(_replay_merges(char_syms, F.col("ms")), " "))
+    word_tok = dw.crossJoin(F.broadcast(ms_row)).select(
+        "word", F.coalesce(F.col("n_syms_v"), replayed_n).alias("n_syms")
+    )
+    joined = per_doc_word.join(word_tok, "word")
     return (
         joined.groupBy("doc_id")
         .agg(
@@ -260,3 +374,20 @@ def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             F.col("n_tokens").cast("double") / F.col("n_words"),
         )
     )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Apply the learned tokenizer to its OWN training corpus — the
+    encode pass a training-data pipeline runs right after training
+    (the reference analog is the per-image dict lookup in
+    ppocr/postprocess/rec_postprocess.py:55-88: a trained inventory
+    applied row-by-row at inference). One shared run of the merge
+    rounds produces both artifacts; the application is
+    :func:`bpe_apply` with the trained vocabulary covering every
+    corpus word (the replay fallback compiles in but short-circuits).
+    Output per document: word count, BPE token count under the
+    ``n_merges``-merge tokenizer, and tokens_per_word — the
+    hash-portable compression ratio the sampling/packing operators
+    consume as a cost signal."""
+    merges, vocab = bpe_train(docs, n_merges)
+    return bpe_apply(docs, merges, vocab=vocab)
