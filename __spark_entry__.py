@@ -932,17 +932,29 @@ def q_robots_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT apply; host%3==0 adds a '*' stanza (Disallow /doc/1, Allow
     /doc/12 — so ids starting '12' exercise allow-beats-disallow at
     longer match), host%3==1 gets 'Disallow: /doc/*7$' (the RFC 9309
-    wildcard + end-anchor path — blocks exactly ids ending in 7),
+    wildcard + end-anchor path — blocks exactly ids ending in 7)
+    PLUS 'Disallow: /*?utm=' (the §2.2.2 path+QUERY match),
     host%3==2 stacks 'User-agent: bot' + 'User-agent: *' over
     'Disallow: /' framed with CRLF line endings (stanza sharing + the
-    real-world line framing). The oracle states every verdict from the
-    doc_id arithmetic — ground truth, not a parser mirror."""
+    real-world line framing). Pages with doc_id%4==1 carry a planted
+    '?utm=mail' query string: on hmod-1 hosts they hit the query rule
+    — and an id ending in 7 WITH the query must flip to the query
+    rule, because the '$'-anchored '/doc/*7$' no longer matches a
+    target that ends in the query. The oracle states every verdict
+    from the doc_id arithmetic — ground truth, not a parser mirror."""
     from webextract.operators.robots import parse_robots, robots_verdict
+    from webextract.sources.pages import page_url
 
-    return robots_verdict(
-        pages_from_documents(spark, sf_dir),
-        parse_robots(_synth_robots(spark, sf_dir)),
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(
+            page_url(F.col("doc_id")),
+            F.when(F.col("doc_id") % 4 == 1, F.lit("?utm=mail")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url")
     )
+    return robots_verdict(pages, parse_robots(_synth_robots(spark, sf_dir)))
 
 
 def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,7 +984,10 @@ def _synth_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hmod == 0, F.lit("User-agent: *\nDisallow: /doc/1\nAllow: /doc/12\n"))
         .when(
             hmod == 1,
-            F.lit("User-agent: *\nDisallow: /doc/*7$\nCrawl-delay: 5\n"),
+            F.lit(
+                "User-agent: *\nDisallow: /doc/*7$\n"
+                "Disallow: /*?utm=\nCrawl-delay: 5\n"
+            ),
         )
         .otherwise(
             F.lit(
@@ -2985,17 +3000,25 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                        AS n_boiler
             FROM f GROUP BY doc_id
         """,
+        # hmod-1 ground truth with the planted '?utm=mail' queries
+        # (doc_id%4==1): the query rule '/*?utm=' blocks every such
+        # url, and it — not '/doc/*7$' — is the matched rule even for
+        # ids ending in 7, because the $-anchored rule cannot match a
+        # target that ends in the query string.
         "robots_txt": f"""
-            SELECT {_URL} AS url,
+            SELECT {_URL} || CASE WHEN doc_id % 4 = 1
+                                  THEN '?utm=mail' ELSE '' END AS url,
                    CASE WHEN ({_HOST}) % 3 = 1
                              THEN CAST(doc_id AS VARCHAR) LIKE '%7'
+                                  OR doc_id % 4 = 1
                         WHEN ({_HOST}) % 3 = 2 THEN TRUE
                         ELSE CAST(doc_id AS VARCHAR) LIKE '1%'
                              AND NOT CAST(doc_id AS VARCHAR) LIKE '12%'
                    END AS blocked,
                    CASE WHEN ({_HOST}) % 3 = 2 THEN 'disallow'
                         WHEN ({_HOST}) % 3 = 1
-                             AND CAST(doc_id AS VARCHAR) LIKE '%7'
+                             AND (CAST(doc_id AS VARCHAR) LIKE '%7'
+                                  OR doc_id % 4 = 1)
                              THEN 'disallow'
                         WHEN ({_HOST}) % 3 = 0
                              AND CAST(doc_id AS VARCHAR) LIKE '12%' THEN 'allow'
@@ -3003,6 +3026,8 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                              AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN 'disallow'
                    END AS rule_verb,
                    CASE WHEN ({_HOST}) % 3 = 2 THEN '/'
+                        WHEN ({_HOST}) % 3 = 1 AND doc_id % 4 = 1
+                             THEN '/*?utm='
                         WHEN ({_HOST}) % 3 = 1
                              AND CAST(doc_id AS VARCHAR) LIKE '%7'
                              THEN '/doc/*7$'

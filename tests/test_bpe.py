@@ -278,6 +278,120 @@ def test_bpe_apply_empty_merge_table(spark):
     assert got == {0: 6}
 
 
+def _table(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bpe_train_strategies_agree(spark):
+    """rounds / batched / local produce identical merge tables and
+    identical trained vocabularies."""
+    from webextract.operators.bpe import bpe_train
+
+    docs = _docs(spark, TRAIN + HELD)
+    arts = {
+        s: bpe_train(docs, n_merges=6, strategy=s)
+        for s in ("rounds", "batched", "local")
+    }
+    merges = {s: _table(m) for s, (m, _) in arts.items()}
+    vocabs = {s: _table(v) for s, (_, v) in arts.items()}
+    assert merges["rounds"] == merges["batched"] == merges["local"]
+    assert vocabs["rounds"] == vocabs["batched"] == vocabs["local"]
+
+
+def test_bpe_train_local_64_merges_few_spark_rounds(spark):
+    """The production-merge-count criterion: 64 merges learned with
+    the local strategy match the sequential Python reference exactly,
+    and the whole training (including materializing the merge table)
+    runs in at most 64/4 = 16 Spark jobs — the per-merge scheduler
+    round-trip is gone."""
+    from webextract.operators.bpe import bpe_train
+
+    texts = [t * 2 + " " + h for t in TRAIN for h in HELD] + [
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "sphinx of black quartz judge my vow",
+    ]
+    expected, _ = _ref_learn(texts, 64)
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe64", "local-strategy training")
+    try:
+        merges, _ = bpe_train(_docs(spark, texts), n_merges=64, strategy="local")
+        got = [
+            (r.step, r.left_sym, r.right_sym, r.merged, r.pair_cnt)
+            for r in merges.orderBy("step").collect()
+        ]
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("bpe64"))
+    assert got == expected
+    assert 0 < n_jobs <= 16, f"local strategy used {n_jobs} Spark jobs"
+
+
+def test_bpe_train_auto_strategy_threshold(spark):
+    """strategy=None → rounds at small n_merges, local above the
+    threshold; both give reference-identical merges either way."""
+    from webextract.operators.bpe import LOCAL_MERGE_THRESHOLD, bpe_train
+
+    n = LOCAL_MERGE_THRESHOLD + 4
+    expected, _ = _ref_learn(TRAIN, n)
+    merges, _ = bpe_train(_docs(spark, TRAIN), n_merges=n)
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_cnt)
+        for r in merges.orderBy("step").collect()
+    ]
+    assert got == expected
+
+
+def _sim_batched(texts, n_merges, cap):
+    """Python simulation of the batched strategy over the reference
+    machinery: rounds of stats → frozen sort → _select_batch →
+    sequential application of the batch."""
+    from collections import namedtuple
+
+    from webextract.operators.bpe import _select_batch
+
+    Row = namedtuple("Row", ["l", "r", "pair_cnt"])
+    vocab = _ref_word_freq(texts)
+    out = []
+    while len(out) < n_merges:
+        stats = _ref_stats(vocab)
+        if not stats:
+            break
+        rows = [
+            Row(l, r, c)
+            for (l, r), c in sorted(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+        ]
+        top = rows[:cap]
+        batch = _select_batch(top, len(rows) <= cap, n_merges - len(out))
+        for b in batch:
+            out.append((len(out) + 1, b.l, b.r, b.l + b.r, b.pair_cnt))
+            vocab = _ref_merge(vocab, (b.l, b.r))
+    return out
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_select_batch_rule_matches_sequential(words, cap):
+    """The non-interacting-prefix batch rule is EXACT: for random
+    corpora and small fetch caps (forcing the cap-cut boundary case),
+    batched learning reproduces the sequential merge sequence
+    including every count and tie-break."""
+    texts = [" ".join(words)]
+    expected = [
+        (step, l, r, m, c) for step, l, r, m, c in _ref_learn(texts, 12)[0]
+    ]
+    assert _sim_batched(texts, 12, cap) == expected
+
+
 @given(
     st.lists(
         st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=10

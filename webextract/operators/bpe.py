@@ -24,6 +24,28 @@ Distributed shape (the Sennrich trick, kept):
 - ``localCheckpoint`` truncates lineage each round (the
   links.pagerank pattern) so the plan stays O(1) per round.
 
+Production merge counts (the round-count problem and its two fixes):
+a real tokenizer wants 3·10^4-10^5 merges, and one driver-coordinated
+Spark round per merge is days of scheduler latency no matter how big
+the cluster is. :func:`bpe_train` therefore has three strategies, all
+PROVABLY identical in output (pinned against each other and the
+plain-Python reference by pytest):
+- ``rounds``: the collect-free one-merge-per-round loop above —
+  right for small merge counts and the hash-exact oracle queries.
+- ``batched``: per round, take the longest PREFIX of the frozen-order
+  pair table that is pairwise non-interacting and strictly
+  count-dominates everything excluded, and apply the whole prefix in
+  one fold (see :func:`_select_batch` for the proof sketch). Exact,
+  but English-like corpora interact heavily in early rounds (~1.1×).
+- ``local``: ONE distributed corpus→word-frequency reduction, then
+  the merge loop runs on the driver over that VOCABULARY-sized table
+  (Zipf-bounded: ~10^7-10^8 distinct ``[a-z]+`` words even at 10^12
+  pages — single-node memory, the same table every single-node
+  tokenizer trainer holds), with incremental pair-stat maintenance;
+  encode stays fully distributed via the broadcast artifacts. This is
+  the production design point and the default above
+  ``LOCAL_MERGE_THRESHOLD`` merges: Spark rounds collapse to 1.
+
 Determinism contract (what makes the unrolled recursive-CTE oracle
 match bit-for-bit):
 - Symbols start as the ``[a-z]`` characters of each ``[a-z]+`` word
@@ -188,6 +210,64 @@ def _learn_rounds(
     return bests, vocab
 
 
+_MERGES_SCHEMA = (
+    "step INT, left_sym STRING, right_sym STRING, "
+    "merged STRING, pair_cnt BIGINT"
+)
+
+# n_merges above this → bpe_train defaults to the local merge loop
+# (one Spark round); at or below it, the collect-free distributed
+# rounds keep the oracle queries' plans driver-collect-free.
+LOCAL_MERGE_THRESHOLD = 16
+
+# per-round argmax-prefix fetch size for the batched strategy — a
+# CONSTANT, so the per-round driver read is bounded regardless of
+# corpus size (control-plane, like a snapshot-id read; the data plane
+# never leaves the executors).
+BATCH_CAP = 64
+
+
+def _select_batch(top: list, exhausted: bool, remaining: int) -> list:
+    """The batched strategy's per-round selection: from ``top`` (pair
+    rows with ``.l/.r/.pair_cnt`` in the frozen order: count desc,
+    l asc, r asc; ``exhausted`` = the WHOLE pair table fit in the
+    fetch), pick the longest prefix that sequential learning would
+    provably pick one-by-one, capped at ``remaining``.
+
+    Why the prefix is safe (sketch): applying merge (l, r) changes
+    pair counts ONLY for pairs sharing a symbol with {l, r} (they can
+    only lose) and creates new pairs that each contain the merged
+    symbol l||r, with counts bounded by some old pair containing l or
+    r. Take candidates in frozen order while each is symbol-disjoint
+    — including the merged string — from all taken so far, then trim
+    trailing candidates that tie the first excluded pair's count.
+    Every excluded or newly-created pair then has count STRICTLY below
+    every taken candidate, and taken candidates' own counts and
+    relative order are untouched by earlier batch members — so round
+    j's sequential argmax is exactly batch[j]. A batch of one is the
+    plain sequential step, the always-valid fallback.
+    """
+    take = [top[0]]
+    first = top[0]
+    used = {first.l, first.r, first.l + first.r}
+    boundary = None
+    for row in top[1:]:
+        syms = {row.l, row.r, row.l + row.r}
+        if syms & used:
+            boundary = row.pair_cnt  # first interacting pair: stop
+            break
+        take.append(row)
+        used |= syms
+    if boundary is None and not exhausted:
+        # the fetch was cut by the cap: unseen pairs may tie the last
+        # fetched row, so treat its count as the exclusion boundary
+        boundary = top[-1].pair_cnt
+    if boundary is not None:
+        strict = [t for t in take if t.pair_cnt > boundary]
+        take = strict if strict else [top[0]]
+    return take[:remaining]
+
+
 def _merge_table(bests: list[DataFrame]) -> DataFrame:
     """Step-numbered merge table from the per-round argmax rows →
     (step, left_sym, right_sym, merged, pair_cnt), step 1-based."""
@@ -207,27 +287,167 @@ def _merge_table(bests: list[DataFrame]) -> DataFrame:
     return out
 
 
-def bpe_train(
-    docs: DataFrame, n_merges: int = 8
+def _merges_from_rows(docs: DataFrame, rows: list[tuple]) -> DataFrame:
+    """(step, left_sym, right_sym, merged, pair_cnt) tuples → the
+    merge-table DataFrame (empty input keeps the schema)."""
+    return docs.sparkSession.createDataFrame(rows, _MERGES_SCHEMA)
+
+
+def _literal_merge_array(pairs: list[tuple[str, str]]):
+    """array<struct<l,r>> literal for an in-plan replay of a SMALL
+    merge batch (expression size grows with the batch — bounded by
+    BATCH_CAP; big frozen tables go through :func:`merge_table_array`
+    + broadcast instead)."""
+    return F.array(
+        *[
+            F.struct(F.lit(l).alias("l"), F.lit(r).alias("r"))
+            for l, r in pairs
+        ]
+    )
+
+
+def _learn_rounds_batched(
+    docs: DataFrame, n_merges: int, cap: int = BATCH_CAP
+) -> tuple[list[tuple], DataFrame, int]:
+    """The batched distributed strategy → (merge rows, final vocab,
+    rounds used). Per round: ONE vocabulary-sized pair aggregation,
+    a bounded (≤``cap``-row) driver read of its argmax prefix,
+    :func:`_select_batch`, then the whole batch applied in ONE
+    replay fold. Output provably identical to the sequential rounds
+    (see _select_batch)."""
+    vocab = word_freq(docs).localCheckpoint(eager=False)
+    out: list[tuple] = []
+    rounds = 0
+    while len(out) < n_merges:
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_cnt"), F.asc("l"), F.asc("r"))
+            .limit(cap)
+            .collect()
+        )
+        rounds += 1
+        if not top:
+            break
+        batch = _select_batch(top, len(top) < cap, n_merges - len(out))
+        for row in batch:
+            out.append(
+                (len(out) + 1, row.l, row.r, row.l + row.r, row.pair_cnt)
+            )
+        ms = _literal_merge_array([(b.l, b.r) for b in batch])
+        vocab = vocab.select(
+            _replay_merges(F.col("syms"), ms).alias("syms"), "cnt"
+        ).localCheckpoint(eager=False)
+    return out, vocab, rounds
+
+
+def _local_merge_loop(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, str, int]]:
+    """Pure-Python Sennrich merge loop with incremental pair-stat
+    maintenance (the standard single-node trainer shape: a pair→words
+    index so each merge touches only the words containing it, never
+    the whole vocabulary). Identical semantics to the distributed
+    rounds: overlapping pair counts, (count desc, l, r) argmax,
+    greedy left-to-right application. → [(l, r, merged, pair_cnt)]
+    in learning order."""
+    from collections import Counter, defaultdict
+
+    words: list[list] = [[syms.split(" "), cnt] for syms, cnt in word_counts]
+    stats: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for wi, (parts, cnt) in enumerate(words):
+        for pair in zip(parts, parts[1:]):
+            stats[pair] += cnt
+            index[pair].add(wi)
+    merges = []
+    for _ in range(n_merges):
+        if not stats:
+            break
+        (l, r), best_cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, l + r, best_cnt))
+        # the index may hold stale word ids (words rewritten since) —
+        # harmless: subtract-old/add-new cancels for a word that no
+        # longer contains the pair, and stats stays exact throughout
+        for wi in index.pop((l, r), set()):
+            parts, cnt = words[wi]
+            for pair in zip(parts, parts[1:]):
+                stats[pair] -= cnt
+                if stats[pair] <= 0:
+                    del stats[pair]
+            new_parts, i = [], 0
+            while i < len(parts):
+                if i + 1 < len(parts) and parts[i] == l and parts[i + 1] == r:
+                    new_parts.append(l + r)
+                    i += 2
+                else:
+                    new_parts.append(parts[i])
+                    i += 1
+            words[wi][0] = new_parts
+            for pair in zip(new_parts, new_parts[1:]):
+                stats[pair] += cnt
+                index[pair].add(wi)
+    return merges
+
+
+def _learn_local(
+    docs: DataFrame, n_merges: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Train once, return BOTH tokenizer artifacts sharing one run of
-    the merge rounds: the merge table (what :func:`bpe_learn`
-    returns) and the trained vocabulary (the word-frequency table
-    after all merges, ``(syms, cnt)``). A deployment persists these
-    two tables and tokenizes every later crawl with
-    :func:`bpe_apply` — training never reruns on held-out data.
+    """The local strategy: ONE distributed corpus→word-frequency
+    reduction (the only corpus-sized work), the merge loop on the
+    driver over that vocabulary-sized table, then the trained
+    vocabulary re-derived DISTRIBUTED by replaying the frozen merges
+    over the same checkpointed word-frequency table (a map-only job —
+    the artifact never rides through the driver)."""
+    wf = word_freq(docs).localCheckpoint(eager=False)
+    rows = [(r["syms"], r["cnt"]) for r in wf.collect()]
+    learned = _local_merge_loop(rows, n_merges)
+    merges = _merges_from_rows(
+        docs,
+        [(i, l, r, m, c) for i, (l, r, m, c) in enumerate(learned, start=1)],
+    )
+    ms_row = merge_table_array(merges).localCheckpoint()
+    vocab = wf.crossJoin(F.broadcast(ms_row)).select(
+        _replay_merges(F.col("syms"), F.col("ms")).alias("syms"), "cnt"
+    )
+    return merges, vocab
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8, strategy: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Train once, return BOTH tokenizer artifacts: the merge table
+    (what :func:`bpe_learn` returns) and the trained vocabulary (the
+    word-frequency table after all merges, ``(syms, cnt)``). A
+    deployment persists these two tables and tokenizes every later
+    crawl with :func:`bpe_apply` — training never reruns on held-out
+    data.
+
+    ``strategy``: ``"rounds"`` (collect-free sequential distributed
+    rounds), ``"batched"`` (distributed rounds, non-interacting
+    argmax-prefix batches), ``"local"`` (driver merge loop over the
+    vocabulary-sized word-frequency table — ONE Spark round; the
+    production path for real merge counts). ``None`` picks ``rounds``
+    up to ``LOCAL_MERGE_THRESHOLD`` merges, ``local`` above. All
+    three produce identical artifacts (pytest-pinned against each
+    other and the plain-Python reference).
 
     ``n_merges=0`` is legal (characters-only tokenizer): the merge
     table comes back empty with the usual schema."""
-    bests, vocab = _learn_rounds(docs, n_merges)
-    if not bests:
-        empty = docs.sparkSession.createDataFrame(
-            [],
-            "step INT, left_sym STRING, right_sym STRING, "
-            "merged STRING, pair_cnt BIGINT",
-        )
-        return empty, vocab
-    return _merge_table(bests), vocab
+    if strategy is None:
+        strategy = "rounds" if n_merges <= LOCAL_MERGE_THRESHOLD else "local"
+    if strategy == "rounds":
+        bests, vocab = _learn_rounds(docs, n_merges)
+        if not bests:
+            return _merges_from_rows(docs, []), vocab
+        return _merge_table(bests), vocab
+    if strategy == "batched":
+        rows, vocab, _ = _learn_rounds_batched(docs, n_merges)
+        return _merges_from_rows(docs, rows), vocab
+    if strategy == "local":
+        return _learn_local(docs, n_merges)
+    raise ValueError(f"unknown bpe_train strategy: {strategy!r}")
 
 
 def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
