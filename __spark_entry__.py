@@ -1401,6 +1401,49 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_apply(held, merges, vocab=tvocab)
 
 
+def q_pretrain_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL pretraining data path, end to end: synthesize pages
+    → extract main content → corpus line-dedup → minimum-length
+    quality gate → train the BPE tokenizer on the doc_id%10==0 slice
+    of the SURVIVORS → apply the frozen artifacts to every survivor
+    (the train→apply seam: 90% of the corpus is held-out w.r.t. the
+    tokenizer) → concat-and-chunk the BPE token counts into
+    2048-token training chunks over 8 shard streams. Every stage is
+    the production operator; the oracle replays the whole chain
+    (extraction template, line-dedup CTE, merge-learning CTEs on the
+    cleaned train slice, merge replay over every survivor word, the
+    per-shard running-sum chunk arithmetic)."""
+    from webextract.operators.sampling import pack_chunks
+
+    ext = q_extract(spark, sf_dir)
+    docs = ext.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    clean = dedup.line_dedup(docs)
+    # survivors feed tokenizer training AND application: checkpoint so
+    # extraction + dedup run once
+    surv = (
+        clean.filter(F.size(F.split(F.col("clean_text"), " ")) >= 5)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=False)
+    )
+    merges, tvocab = bpe.bpe_train(
+        surv.filter(F.col("doc_id") % 10 == 0), n_merges=8
+    )
+    enc = bpe.bpe_apply(surv, merges, vocab=tvocab)
+    packed = pack_chunks(enc, ctx=2048, n_shards=8, tokens_col="n_tokens")
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("first_chunk").cast("long").alias("first_chunk"),
+        F.col("last_chunk").cast("long").alias("last_chunk"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+    )
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index phrase query ("table hash"): term-filtered
     positions + adjacency equi-joins on (doc_id, position). The
@@ -1922,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
         "bpe_apply": q_bpe_apply,
+        "pretrain_pack": q_pretrain_pack,
         "kmeans_assign": q_kmeans_assign,
         # -- position 51+: just past the 50-row window edge --
         # pricing_summary and orders_by_region are double-green (r1+r2
@@ -3300,6 +3344,7 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
         "bpe_vocab": _bpe_vocab_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "bpe_apply": _bpe_apply_sql(),
+        "pretrain_pack": _pretrain_pack_sql(),
         "kmeans_assign": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
         "ann_ivf": _ann_ivf_sql(),
@@ -3815,7 +3860,10 @@ _EDGES_CTE = f"""
          FROM e0 GROUP BY 1, 2)"""
 
 
-def _bpe_ctes(n_merges: int = 8, where: str = "") -> str:
+def _bpe_ctes(
+    n_merges: int = 8, where: str = "", src: str = "documents",
+    prelude: str = "",
+) -> str:
     """Unrolled BPE learning as recursive CTEs — the SQL restatement
     of operators/bpe.py. Per round k: p{k} counts adjacent pairs by
     1-indexed position enumeration (overlapping, weighted by word
@@ -3852,10 +3900,10 @@ def _bpe_ctes(n_merges: int = 8, where: str = "") -> str:
            UNION ALL
            SELECT syms, cnt FROM v{k - 1}
            WHERE NOT EXISTS (SELECT 1 FROM b{k}))""")
-    return f"""WITH RECURSIVE
+    return f"""WITH RECURSIVE {prelude}
   w AS MATERIALIZED (SELECT unnest(regexp_extract_all(lower(text), '{vocab.WORD_REGEX}'))
                    AS word
-        FROM documents {where}),
+        FROM {src} {where}),
   v0 AS MATERIALIZED (SELECT array_to_string(regexp_extract_all(word, '{bpe.SYM_REGEX}'),
                                 ' ') AS syms,
                 COUNT(*) AS cnt
@@ -3918,6 +3966,22 @@ def _bpe_apply_sql(n_merges: int = 8) -> str:
     (no vocabulary lookup), so equality with the Spark result — whose
     in-vocab words resolve through the trained-vocabulary LEFT join —
     also proves the two Spark paths compute the same function."""
+    return f"""{_bpe_ctes(n_merges, where="WHERE doc_id % 10 = 0")},
+{_bpe_replay_ctes(n_merges, where="WHERE doc_id % 10 <> 0")}
+SELECT doc_id, n_words, n_tokens,
+       CAST(n_tokens AS DOUBLE) / n_words AS tokens_per_word
+FROM happ"""
+
+
+def _bpe_replay_ctes(
+    n_merges: int = 8, src: str = "documents", where: str = ""
+) -> str:
+    """The frozen-apply half, reusable over any (doc_id, text) CTE:
+    tokenize every DISTINCT word of ``src`` (filtered by ``where``)
+    by replaying merges b1..b{n} in learning order — per merge the
+    same first-occurrence regexp_replace fixpoint the training CTEs
+    use — ending in ``happ(doc_id, n_words, n_tokens)``. Appended
+    after :func:`_bpe_ctes` (which defines the b{{k}} tables)."""
     its = []
     for k in range(1, n_merges + 1):
         its.append(f"""
@@ -3933,11 +3997,10 @@ def _bpe_apply_sql(n_merges: int = 8) -> str:
             UNION ALL
             SELECT word, syms FROM hs{k - 1}
             WHERE NOT EXISTS (SELECT 1 FROM b{k}))""")
-    return f"""{_bpe_ctes(n_merges, where="WHERE doc_id % 10 = 0")},
-  hdw AS MATERIALIZED (SELECT doc_id,
+    return f"""  hdw AS MATERIALIZED (SELECT doc_id,
                  unnest(regexp_extract_all(lower(text),
                                            '{vocab.WORD_REGEX}')) AS word
-          FROM documents WHERE doc_id % 10 <> 0),
+          FROM {src} {where}),
   pdw AS (SELECT doc_id, word, COUNT(*) AS k FROM hdw GROUP BY 1, 2),
   hs0 AS MATERIALIZED (SELECT DISTINCT word,
                  array_to_string(regexp_extract_all(word,
@@ -3948,10 +4011,40 @@ def _bpe_apply_sql(n_merges: int = 8) -> str:
            FROM hs{n_merges}),
   happ AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
                   CAST(SUM(k * n_syms) AS BIGINT) AS n_tokens
-           FROM pdw JOIN hmap USING (word) GROUP BY doc_id)
-SELECT doc_id, n_words, n_tokens,
-       CAST(n_tokens AS DOUBLE) / n_words AS tokens_per_word
-FROM happ"""
+           FROM pdw JOIN hmap USING (word) GROUP BY doc_id)"""
+
+
+def _pretrain_pack_sql(
+    n_merges: int = 8, ctx: int = 2048, n_shards: int = 8
+) -> str:
+    """The end-to-end pretraining-path oracle: extraction template →
+    line-dedup CTE → length gate → merge learning on the cleaned
+    doc_id%10==0 slice → merge replay over every survivor word →
+    per-shard running-sum chunk arithmetic."""
+    prelude = f"""
+  e AS (SELECT doc_id, {_EXTRACTED} AS text FROM documents),
+  {_line_dedup_cte("e")},
+  sv AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM k
+        WHERE len(string_split(clean_text, ' ')) >= 5),"""
+    return f"""{
+        _bpe_ctes(
+            n_merges, where="WHERE doc_id % 10 = 0", src="sv",
+            prelude=prelude,
+        )
+    },
+{_bpe_replay_ctes(n_merges, src="sv")},
+  pk AS (SELECT doc_id, n_tokens, doc_id % {n_shards} AS shard,
+                SUM(n_tokens) OVER (PARTITION BY doc_id % {n_shards}
+                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_tok
+         FROM happ)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+       CAST((end_tok - n_tokens) // {ctx} AS BIGINT) AS first_chunk,
+       CAST((end_tok - 1) // {ctx} AS BIGINT) AS last_chunk,
+       CAST((end_tok - n_tokens) % {ctx} AS BIGINT) AS chunk_offset
+FROM pk"""
 
 
 def _kmeans_ctes(k: int, n_iter: int, src: str = "embeddings") -> str:

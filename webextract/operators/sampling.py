@@ -142,11 +142,17 @@ def pack_chunks(
     n_shards: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing: lay the corpus out as ``n_shards``
     independent token streams and cut each stream into ``ctx``-token
     training chunks → (doc_id, shard, n_tokens, start_tok,
     first_chunk, last_chunk, chunk_offset).
+
+    ``tokens_col`` lets the caller supply a precomputed per-document
+    token count (e.g. the BPE token count from ``bpe_apply``) instead
+    of the default whitespace tokenization of ``text_col`` — the
+    real pretraining layout packs TOKENIZER tokens, not words.
 
     This is the standard autoregressive-pretraining layout: documents
     are concatenated in a frozen order and the stream is split at the
@@ -174,7 +180,10 @@ def pack_chunks(
     """
     doc_id = F.col(id_col)
     shard = F.pmod(doc_id, F.lit(n_shards))
-    n_tokens = F.size(F.split(F.col(text_col), " "))
+    if tokens_col is not None:
+        n_tokens = F.col(tokens_col)
+    else:
+        n_tokens = F.size(F.split(F.col(text_col), " "))
     staged = _stream_offsets(
         docs.select(doc_id, shard.alias("shard"), n_tokens.alias("n_tokens")),
         id_col,
