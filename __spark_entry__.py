@@ -1901,15 +1901,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver's correctness gate
-    samples the FIRST 50 entries, so the front of the dict carries (a)
-    every query that had no driver row yet as of round 3 and (b) every
-    query whose semantics changed this round (new oracles, reworked
-    operators) — the unchanged, already-driver-green r3 queries form
-    the tail. Three redundant demos were pruned from the registry
-    (simhash16_demo, events_top_users, media_meta — each a strict
-    subset of a surviving query); their functions remain for tests."""
+    samples the FIRST 50 entries, so the front of the dict carries
+    every query that is NEW or semantically CHANGED this round; the
+    unchanged, already-driver-green queries form the tail (every one
+    of them has at least one hash-exact driver row from rounds 1-4,
+    re-verified by the committed local 3-SF sweep,
+    CORRECTNESS_LOCAL_r5.json)."""
     return {
-        # -- no driver CORRECTNESS row as of r3 (registry tail then) --
+        # -- round 5: new or changed --
+        # lineage: first-ever ORACLE row (was the one rows-only entry)
+        "lineage": q_lineage,
+        # bpe_apply/pretrain_pack: new (frozen-tokenizer seam + e2e path)
+        "bpe_apply": q_bpe_apply,
+        "pretrain_pack": q_pretrain_pack,
+        # bpe_*: learning loop refactored (shared rounds, strategies);
+        # encode rerouted through the frozen-apply path
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encode": q_bpe_encode,
+        # robots_txt: planted query-string rules (RFC 9309 path+query)
+        "robots_txt": q_robots_txt,
+        # lsh_recall + the minhash/LSH/jaccard family: one shared
+        # shingle-explode pass-through threaded this round
+        "lsh_recall": q_lsh_recall,
+        "pack_chunks": q_pack_chunks,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard_top": q_dedup_jaccard_top,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        # -- r4 gate head, all hash-exact in CORRECTNESS_r04 --
         "heading_paths": q_heading_paths,
         "split_assign": q_split_assign,
         "kie_pairs": q_kie_pairs,
@@ -1938,49 +1959,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "pagerank": q_pagerank,
         "hits": q_hits,
-        # lsh_recall / shingle_diversity: round-4 late additions; they
-        # take the window slots of extract_eval / pipeline_dedup (both
-        # pure compositions of operators UNCHANGED since their green
-        # r2 driver rows — rotated to the tail)
-        "lsh_recall": q_lsh_recall,
         "shingle_diversity": q_shingle_diversity,
         "pipeline_clean": q_pipeline_clean,
         "pipeline_funnel": q_pipeline_funnel,
         "corpus_report": q_corpus_report,
-        # -- new or semantically changed in round 4 --
         "span_eval": q_span_eval,
         "table_eval": q_table_eval,
         "ann_lsh": q_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
+        # ---- position 51+: unchanged this round; every entry below
+        # carries a hash-exact driver row from r1-r4 ----
         "ann_ivf": q_ann_ivf,
         "semdedup": q_semdedup,
         "host_boiler": q_host_boiler,
         "crawl_diff": q_crawl_diff,
-        "robots_txt": q_robots_txt,
         "crawl_frontier": q_crawl_frontier,
         "fetch_schedule": q_fetch_schedule,
         "change_rate": q_change_rate,
         "video_meta": q_video_meta,
-        "bpe_merges": q_bpe_merges,
-        "bpe_vocab": q_bpe_vocab,
-        "bpe_encode": q_bpe_encode,
-        "bpe_apply": q_bpe_apply,
-        "pretrain_pack": q_pretrain_pack,
         "kmeans_assign": q_kmeans_assign,
-        # -- position 51+: just past the 50-row window edge --
-        # pricing_summary and orders_by_region are double-green (r1+r2
-        # driver rows) and unchanged — they ceded their window slots to
-        # bpe_vocab/kmeans_assign. pack_chunks/chunk_texts ceded theirs
-        # to the newly-oracle-backed semdedup and ann_ivf: both carry
-        # hash-exact r3 driver rows and their r4 rework (two-phase
-        # prefix sum) was plan-shape-only — oracles and results
-        # unchanged, re-verified by the local 3-SF sweep this round.
-        # token_stats, quality, langid, fingerprints, events_hourly,
-        # and events_sessions (r2-green, unchanged) ceded their slots
-        # to the new bpe_encode, length_quantiles, change_rate,
-        # phrase_search, hits, and count_min. media_pages and
-        # union_sample (r2-green, unchanged) ceded theirs to the new
-        # dsir_weights and nb_classify.
         "media_pages": q_media_pages,
         "union_sample": q_union_sample,
         "token_stats": q_token_stats,
@@ -1989,28 +1986,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
-        "pack_chunks": q_pack_chunks,
         "chunk_texts": q_chunk_texts,
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
-        # ---- position 51+: unchanged and driver-green since r2/r3 ----
         "extract": q_extract,
         "extract_markdown": q_extract_markdown,
         "warc_roundtrip": q_warc_roundtrip,
         "extract_lang_stats": q_extract_lang_stats,
         "topk_hosts": q_topk_hosts,
         "extract_blocks": q_extract_blocks,
-        "lineage": q_lineage,
         "tables": q_tables,
         "layout_regions": q_layout_regions,
         "layout_summary": q_layout_summary,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_jaccard_top": q_dedup_jaccard_top,
         "dedup_lines": q_dedup_lines,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "simhash_clusters": q_simhash_clusters,
@@ -2032,9 +2021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "crawl_delays": q_crawl_delays,
         "document_outline": q_document_outline,
-        # rotated out of the gate window for the round-4 late
-        # additions: both are compositions of operators unchanged
-        # since their green r2 driver rows
         "pipeline_dedup": q_pipeline_dedup,
         "extract_eval": q_extract_eval,
     }

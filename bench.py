@@ -116,6 +116,8 @@ def main() -> None:
         "bpe_merges",
         "bpe_vocab",
         "bpe_encode",
+        "bpe_apply",
+        "pretrain_pack",
         "kmeans_assign",
         "bm25",
         "blocklist",
@@ -158,8 +160,10 @@ def main() -> None:
         "corpus_report",
         "pricing_summary",
         "orders_by_region",
-        # full-registry completeness: every queries() entry except the
-        # wall-clock lineage row gets a benched time
+        # full-registry completeness: every queries() entry gets a
+        # benched time (lineage included since it went oracle-backed —
+        # it re-runs extraction, so it costs ~the extract row)
+        "lineage",
         "links",
         "pipeline_dedup",
         "extract_eval",
