@@ -1361,15 +1361,24 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     by position enumeration, argmax with the frozen (count desc, l, r)
     tie-break, and greedy merge application as a first-occurrence
     replace iterated to fixpoint (provably the same function as the
-    Spark fold — see operators/bpe.py)."""
-    return bpe.bpe_learn(_docs_spread(spark, sf_dir), n_merges=8)
+    Spark fold — see operators/bpe.py). Runs the PRODUCTION "local"
+    strategy (one distributed word-frequency reduction + driver merge
+    loop over the vocabulary-sized table) — so the path a real merge
+    count would take is itself under the hash-exact gate; the
+    strategies are pytest-pinned identical."""
+    return bpe.bpe_learn(
+        _docs_spread(spark, sf_dir), n_merges=8, strategy="local"
+    )
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The symbol inventory after the 8 learned merges: top-20 symbols
     by corpus occurrence — evidences merge APPLICATION (encode side)
-    end-to-end, not just the learned merge list."""
-    return bpe.bpe_vocab(_docs_spread(spark, sf_dir), n_merges=8, k=20)
+    end-to-end, not just the learned merge list. Production "local"
+    training strategy (see q_bpe_merges)."""
+    return bpe.bpe_vocab(
+        _docs_spread(spark, sf_dir), n_merges=8, k=20, strategy="local"
+    )
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,8 +1388,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints). The oracle reuses the unrolled learning CTEs and derives
     the word → tokenization mapping by stripping spaces from the
     trained vocabulary's symbol strings (merges only concatenate
-    adjacent symbols, so that inversion is exact)."""
-    return bpe.bpe_encode(_docs_spread(spark, sf_dir), n_merges=8)
+    adjacent symbols, so that inversion is exact). Production
+    "local" training strategy (see q_bpe_merges)."""
+    return bpe.bpe_encode(
+        _docs_spread(spark, sf_dir), n_merges=8, strategy="local"
+    )
 
 
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,7 +1409,7 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 10 == 0)
     held = docs.filter(F.col("doc_id") % 10 != 0)
-    merges, tvocab = bpe.bpe_train(train, n_merges=8)
+    merges, tvocab = bpe.bpe_train(train, n_merges=8, strategy="local")
     return bpe.bpe_apply(held, merges, vocab=tvocab)
 
 
@@ -1429,7 +1441,8 @@ def q_pretrain_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     merges, tvocab = bpe.bpe_train(
-        surv.filter(F.col("doc_id") % 10 == 0), n_merges=8
+        surv.filter(F.col("doc_id") % 10 == 0), n_merges=8,
+        strategy="local",
     )
     enc = bpe.bpe_apply(surv, merges, vocab=tvocab)
     packed = pack_chunks(enc, ctx=2048, n_shards=8, tokens_col="n_tokens")

@@ -342,6 +342,30 @@ def test_bpe_train_auto_strategy_threshold(spark):
     assert got == expected
 
 
+def test_bpe_artifacts_survive_parquet_roundtrip(spark, tmp_path):
+    """The deployment story: persist the two trained artifacts as
+    parquet, reload them in a 'later' job, and encode held-out text —
+    identical to encoding with the in-memory artifacts."""
+    from webextract.operators.bpe import bpe_apply, bpe_train
+
+    merges, vocab = bpe_train(_docs(spark, TRAIN), n_merges=6)
+    mp, vp = str(tmp_path / "merges.parquet"), str(tmp_path / "vocab.parquet")
+    merges.write.parquet(mp)
+    vocab.write.parquet(vp)
+    held = _docs(spark, HELD)
+    direct = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(held, merges, vocab=vocab).collect()
+    }
+    reloaded = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(
+            held, spark.read.parquet(mp), vocab=spark.read.parquet(vp)
+        ).collect()
+    }
+    assert direct == reloaded
+
+
 def _sim_batched(texts, n_merges, cap):
     """Python simulation of the batched strategy over the reference
     machinery: rounds of stats → frozen sort → _select_batch →

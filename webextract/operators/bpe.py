@@ -450,30 +450,27 @@ def bpe_train(
     raise ValueError(f"unknown bpe_train strategy: {strategy!r}")
 
 
-def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+def bpe_learn(
+    docs: DataFrame, n_merges: int = 8, strategy: str | None = None
+) -> DataFrame:
     """Learn ``n_merges`` BPE merges → (step, left_sym, right_sym,
     merged, pair_cnt), step 1-based in learning order."""
-    merges, _ = bpe_train(docs, n_merges)
+    merges, _ = bpe_train(docs, n_merges, strategy=strategy)
     return merges
 
 
-def _merged_vocab(docs: DataFrame, n_merges: int) -> DataFrame:
-    """The word-frequency table after ``n_merges`` learned merges —
-    the trained-tokenizer artifact (syms, cnt). Shared by
-    :func:`bpe_vocab` (inventory stats) and :func:`bpe_encode`
-    (corpus application); at 10^12 pages this table is what a
-    deployment persists once and reuses."""
-    _, vocab = _learn_rounds(docs, n_merges)
-    return vocab
-
-
-def bpe_vocab(docs: DataFrame, n_merges: int = 8, k: int = 20) -> DataFrame:
+def bpe_vocab(
+    docs: DataFrame,
+    n_merges: int = 8,
+    k: int = 20,
+    strategy: str | None = None,
+) -> DataFrame:
     """The symbol inventory AFTER ``n_merges`` learned merges:
     top-``k`` symbols by corpus occurrence → (rank, sym,
     n_occurrences). Evidences merge APPLICATION (the encode side),
     not just learning; rank ties break symbol-ascending and top-k is
     a distributed TakeOrderedAndProject."""
-    vocab = _merged_vocab(docs, n_merges)
+    _, vocab = bpe_train(docs, n_merges, strategy=strategy)
     totals = (
         vocab.select(F.explode(F.split("syms", " ")).alias("sym"), "cnt")
         .groupBy("sym")
@@ -596,7 +593,9 @@ def bpe_apply(
     )
 
 
-def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+def bpe_encode(
+    docs: DataFrame, n_merges: int = 8, strategy: str | None = None
+) -> DataFrame:
     """Apply the learned tokenizer to its OWN training corpus — the
     encode pass a training-data pipeline runs right after training
     (the reference analog is the per-image dict lookup in
@@ -609,5 +608,5 @@ def bpe_encode(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     ``n_merges``-merge tokenizer, and tokens_per_word — the
     hash-portable compression ratio the sampling/packing operators
     consume as a cost signal."""
-    merges, vocab = bpe_train(docs, n_merges)
+    merges, vocab = bpe_train(docs, n_merges, strategy=strategy)
     return bpe_apply(docs, merges, vocab=vocab)
