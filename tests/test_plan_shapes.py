@@ -279,3 +279,35 @@ def test_bpe_round_shapes(spark):
     mplan = plan_of(merged)
     assert "BroadcastExchange" in mplan  # the 1-row argmax side
     assert "BatchEvalPython" not in mplan and "ArrowEvalPython" not in mplan
+
+
+def test_bpe_apply_plan_shapes(spark):
+    """The frozen-apply plan: the merge array rides a BROADCAST
+    single-row cross (never a corpus-side cartesian), the vocabulary
+    join is an equi-join, and no Python crosses the boundary —
+    the replay fold is pure JVM higher-order aggregates."""
+    plan = plan_of(entrymod.q_bpe_apply(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the broadcast 1-row
+    # merge-array side
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) in ("BuildRight", "BuildLeft")
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pretrain_pack_no_cartesian_range_split_pack(spark):
+    """The end-to-end pretraining path: no cartesian products, and
+    the chunk prefix-sum keeps the two-phase range-split shape (range
+    exchange present — the survivor stream is split into contiguous
+    runs, never a whole-shard window). The extraction Arrow stage
+    sits behind the survivor localCheckpoint, so it is pinned by the
+    extract plan tests; the range exchange itself is inside
+    _stream_offsets' checkpoint — its ``_p`` run-id column surviving
+    into the consumed scan is the evidence the two-phase path (not a
+    whole-shard window) produced the offsets."""
+    plan = plan_of(entrymod.q_pretrain_pack(spark, SF), execute=True)
+    assert "CartesianProduct" not in plan
+    assert "_p#" in plan
