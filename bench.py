@@ -118,6 +118,8 @@ def main() -> None:
         "bpe_encode",
         "bpe_apply",
         "pretrain_pack",
+        "png_decode",
+        "png_resize",
         "kmeans_assign",
         "bm25",
         "blocklist",

@@ -10,16 +10,22 @@ Arrow-batched ``mapInPandas`` stages.
 
 Metadata decode (format + dimensions) is REAL for png/jpeg/gif —
 :func:`parse_image_header` reads PNG IHDR, GIF logical-screen and JPEG
-SOFn headers from raw bytes, no codec library needed. Full pixel
-decoding and resampling remain STUBBED (image/audio codecs are not in
-this container): the deterministic ``IMG!`` fake format keeps the
-decode path SQL-statable for the oracle, and ``resize_media`` raises
-until a codec (cv2/PIL) is dropped in. The Spark side (schema, batch
-shape, partitioning, UDF signature) is real and tested throughout.
+SOFn headers from raw bytes, no codec library needed. FULL PIXEL
+decode and resampling are REAL for PNG (``functions/png.py``: the
+format is stdlib zlib over public per-scanline filters — CRC'd chunk
+walk, inflate, all-five-filter unfiltering, nearest-neighbor resize,
+re-encode; :func:`png_pixel_stats` / :func:`resize_media`), with the
+decoded stats ground-truth oracle-statable via :func:`synth_pixel_png`
+(deterministic pixel formulas). JPEG/audio/video PIXEL decode remains
+legitimately stubbed — a DCT/codec implementation is the library this
+container lacks — while their header paths stay real. The Spark side
+(schema, batch shape, partitioning, UDF signature) is real and tested
+throughout.
 """
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -238,13 +244,162 @@ def media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
 
 
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synth_pixel_png(docs: DataFrame) -> DataFrame:
+    """FULL valid PNGs with deterministic pixel content — the fixture
+    behind the real-pixel-decode queries. Image ``doc_id``:
+    ``w = doc_id%8+1``, ``h = doc_id%6+1``; pixel (x, y) is
+    ``r=(doc_id+x)%256, g=(doc_id+3y)%256, b=(x·y)%256`` — pure
+    integer arithmetic, so the DECODED stats are ground-truth
+    statable in SQL. Rows are filtered with type ``y % 5``, so the
+    decoder exercises ALL FIVE PNG filter types (None/Sub/Up/Average/
+    Paeth) on driver-gate data, and every chunk carries its real
+    CRC-32. Synthesis runs in an Arrow batch stage (it is the
+    fixture, not the measured operator)."""
+    from webextract.functions.png import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = mid % 8 + 1, mid % 6 + 1
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                r = np.broadcast_to((mid + x) % 256, (h, w))
+                g = np.broadcast_to(((mid + 3 * y) % 256)[:, None], (h, w))
+                b = (x[None, :] * y[:, None]) % 256
+                arr = np.stack([r, g, b], axis=2).astype(np.uint8)
+                payloads.append(encode_png(arr, row_filter=lambda yy: yy % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel decode (``functions/png.py``: chunk walk + CRC-32
+    verification + zlib inflate + all-five-filter unfiltering — the
+    ``DecodeImage`` analog, ppocr/data/imaug/operators.py:30-68) →
+    per-image channel sums and mean. Sums are exact integers and the
+    mean is ONE IEEE division of exact ints (hash-portable); a payload
+    that is not a decodable truecolor-8 PNG yields ``ok=false`` with
+    null stats instead of failing the job (total-function
+    discipline)."""
+    from webextract.functions.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k.name: [] for k in PIXELS_SCHEMA.fields}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                row = {"media_id": int(mid), "ok": False}
+                try:
+                    arr = decode_png(bytes(b))
+                    s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    n_px = arr.shape[0] * arr.shape[1]
+                    row.update(
+                        width=arr.shape[1],
+                        height=arr.shape[0],
+                        n_px=n_px,
+                        sum_r=int(s[0]),
+                        sum_g=int(s[1]),
+                        sum_b=int(s[2]),
+                        mean_px=float(int(s.sum()) / (3 * n_px)),
+                        ok=True,
+                    )
+                except (ValueError, zlib.error):
+                    pass
+                for f in PIXELS_SCHEMA.fields:
+                    out[f.name].append(row.get(f.name))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, PIXELS_SCHEMA)
+
+
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize stage — NOT IMPLEMENTED in this container (no image libs).
-    The plumbing (signature, schema) is the contract; raises on use."""
-    raise NotImplementedError(
-        "resize requires an image codec (cv2/PIL) not present in this "
-        "container; decode_media demonstrates the batching contract"
-    )
+    """REAL resize for PNG payloads — decode (full unfilter path),
+    nearest-neighbor resample with the exact-integer index map
+    ``src = (dst · src_dim) // dst_dim``, re-encode as a valid PNG.
+    The index map is floor arithmetic, so the oracle states every
+    output pixel (and therefore the channel sums) straight from the
+    input-pixel formulas; the re-encoded payload is pinned by the
+    decode(encode(resize)) round-trip test rather than the oracle
+    (deflate bytes are library-dependent, the pixels are not).
+    Non-PNG / non-truecolor payloads yield ``ok=false`` rows — JPEG
+    remains legitimately stubbed (a DCT entropy decoder IS the codec
+    library this container lacks)."""
+    from webextract.functions.png import decode_png, encode_png, resize_nearest
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                row = {"media_id": int(mid), "ok": False}
+                try:
+                    arr = resize_nearest(
+                        decode_png(bytes(b)), target_w, target_h
+                    )
+                    s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    row.update(
+                        width=target_w,
+                        height=target_h,
+                        sum_r=int(s[0]),
+                        sum_g=int(s[1]),
+                        sum_b=int(s[2]),
+                        payload=encode_png(arr),
+                        ok=True,
+                    )
+                except (ValueError, zlib.error):
+                    pass
+                for f in RESIZED_SCHEMA.fields:
+                    out[f.name].append(row.get(f.name))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
 
 
 def explode_pages(media: DataFrame) -> DataFrame:
