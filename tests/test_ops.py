@@ -833,9 +833,13 @@ def test_explode_pages_fanout(spark, docs):
     ).count() == 0
 
 
-def test_resize_is_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_media(multimodal.synth_media(docs), 32, 32)
+def test_resize_non_png_payloads_yield_ok_false(spark, docs):
+    """resize_media is REAL for PNG (round 5); the fake IMG! payloads
+    are not decodable PNGs, so every row comes back ok=false with null
+    stats — the total-function discipline, not an exception."""
+    out = multimodal.resize_media(multimodal.synth_media(docs), 32, 32)
+    rows = out.collect()
+    assert rows and all(not r.ok and r.sum_r is None for r in rows)
 
 
 def test_connected_components_chain_and_islands(spark):
