@@ -1482,6 +1482,37 @@ def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode under the oracle gate: full valid GIF89a
+    payloads (variable palette sizes 4/8/16 so the LZW minimum code
+    size varies; odd doc_ids INTERLACED so the four-pass reorder runs)
+    are synthesized from deterministic index/palette formulas, then
+    decoded by the hand-rolled variable-width LZW codec
+    (functions/gif.py — the ``check_and_read`` GIF branch,
+    ppocr/utils/utility.py:95-104). The oracle states the channel sums
+    straight from the planted arithmetic — ground truth the decoder
+    cannot mirror."""
+    from webextract.operators.multimodal import pixel_stats, synth_pixel_gif
+
+    return pixel_stats(synth_pixel_gif(_docs(spark, sf_dir)))
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame fan-out: every image block of a
+    multi-frame container (doc_id%3+1 frames, frame f's index formula
+    offset by 7f) is LZW-decoded and emitted as one exact-integer
+    channel-sum row — the pixel-true analog of the reference's
+    multi-page explode (``check_and_read`` PDF branch,
+    ppocr/utils/utility.py:110-120)."""
+    from webextract.operators.multimodal import (
+        gif_frame_stats,
+        synth_pixel_gif,
+    )
+
+    return gif_frame_stats(synth_pixel_gif(_docs(spark, sf_dir),
+                                           multi_frame=True))
+
+
 def _select_packed(packed: DataFrame) -> DataFrame:
     return packed.select(
         "doc_id",
@@ -1968,6 +1999,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stdlib codec, ground-truth pixel-formula oracles)
         "png_decode": q_png_decode,
         "png_resize": q_png_resize,
+        # gif_pixels/gif_frames: new (REAL variable-width LZW decode,
+        # interlace + local-palette + multi-frame paths, ground-truth
+        # index/palette-formula oracles)
+        "gif_pixels": q_gif_pixels,
+        "gif_frames": q_gif_frames,
         # bpe_*: learning loop refactored (shared rounds, strategies);
         # encode rerouted through the frozen-apply path
         "bpe_merges": q_bpe_merges,
@@ -3429,6 +3465,68 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                   FROM m GROUP BY media_id)
             SELECT media_id,
                    CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+                   CAST(sum_r AS BIGINT) AS sum_r,
+                   CAST(sum_g AS BIGINT) AS sum_g,
+                   CAST(sum_b AS BIGINT) AS sum_b,
+                   TRUE AS ok
+            FROM s
+        """,
+        # ground truth for the REAL GIF LZW decode: palette entry
+        # idx=(id+5x+3y)%nc maps to channels (id+17i, id+29i, id+43i)
+        # % 256 — the planted formulas summed over each image's grid;
+        # the decoder (sub-block walk + variable-width LZW + palette +
+        # interlace inversion) cannot mirror this.
+        "gif_pixels": """
+            WITH p AS (SELECT doc_id AS media_id,
+                              doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h,
+                              1 << (doc_id % 3 + 2) AS nc
+                       FROM documents),
+            g AS (SELECT media_id, w, h, nc, unnest(range(h)) AS y FROM p),
+            c AS (SELECT media_id, w, h, nc, y, unnest(range(w)) AS x FROM g),
+            i AS (SELECT media_id, w, h,
+                         (media_id + 5 * x + 3 * y) % nc AS idx
+                  FROM c),
+            s AS (SELECT media_id, MIN(w) AS w, MIN(h) AS h,
+                         COUNT(*) AS n_px,
+                         SUM((media_id + 17 * idx) % 256) AS sum_r,
+                         SUM((media_id + 29 * idx) % 256) AS sum_g,
+                         SUM((media_id + 43 * idx) % 256) AS sum_b
+                  FROM i GROUP BY media_id)
+            SELECT media_id,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                   CAST(n_px AS BIGINT) AS n_px,
+                   CAST(sum_r AS BIGINT) AS sum_r,
+                   CAST(sum_g AS BIGINT) AS sum_g,
+                   CAST(sum_b AS BIGINT) AS sum_b,
+                   CAST(sum_r + sum_g + sum_b AS DOUBLE) / (3 * n_px)
+                       AS mean_px,
+                   TRUE AS ok
+            FROM s
+        """,
+        # multi-frame fan-out: frame f of image id offsets the index
+        # formula by 7f; one row per (image, frame)
+        "gif_frames": """
+            WITH p AS (SELECT doc_id AS media_id,
+                              doc_id % 8 + 1 AS w, doc_id % 6 + 1 AS h,
+                              1 << (doc_id % 3 + 2) AS nc,
+                              doc_id % 3 + 1 AS nf
+                       FROM documents),
+            f AS (SELECT media_id, w, h, nc, unnest(range(nf)) AS fid
+                  FROM p),
+            g AS (SELECT media_id, w, h, nc, fid, unnest(range(h)) AS y
+                  FROM f),
+            c AS (SELECT media_id, w, h, nc, fid, y, unnest(range(w)) AS x
+                  FROM g),
+            i AS (SELECT media_id, fid, w, h,
+                         (media_id + 5 * x + 3 * y + 7 * fid) % nc AS idx
+                  FROM c),
+            s AS (SELECT media_id, fid, MIN(w) AS w, MIN(h) AS h,
+                         SUM((media_id + 17 * idx) % 256) AS sum_r,
+                         SUM((media_id + 29 * idx) % 256) AS sum_g,
+                         SUM((media_id + 43 * idx) % 256) AS sum_b
+                  FROM i GROUP BY media_id, fid)
+            SELECT media_id, CAST(fid AS INTEGER) AS frame_id,
+                   CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
                    CAST(sum_r AS BIGINT) AS sum_r,
                    CAST(sum_g AS BIGINT) AS sum_g,
                    CAST(sum_b AS BIGINT) AS sum_b,

@@ -11,16 +11,19 @@ Arrow-batched ``mapInPandas`` stages.
 Metadata decode (format + dimensions) is REAL for png/jpeg/gif —
 :func:`parse_image_header` reads PNG IHDR, GIF logical-screen and JPEG
 SOFn headers from raw bytes, no codec library needed. FULL PIXEL
-decode and resampling are REAL for PNG (``functions/png.py``: the
-format is stdlib zlib over public per-scanline filters — CRC'd chunk
-walk, inflate, all-five-filter unfiltering, nearest-neighbor resize,
-re-encode; :func:`png_pixel_stats` / :func:`resize_media`), with the
-decoded stats ground-truth oracle-statable via :func:`synth_pixel_png`
-(deterministic pixel formulas). JPEG/audio/video PIXEL decode remains
-legitimately stubbed — a DCT/codec implementation is the library this
-container lacks — while their header paths stay real. The Spark side
-(schema, batch shape, partitioning, UDF signature) is real and tested
-throughout.
+decode and resampling are REAL for PNG (``functions/png.py``: stdlib
+zlib over public per-scanline filters — CRC'd chunk walk, inflate,
+all-five-filter unfiltering, nearest-neighbor resize, re-encode) AND
+for GIF (``functions/gif.py``: hand-rolled variable-width LZW over the
+87a/89a block structure, local/global palettes, interlace, multi-frame
+— :func:`pixel_stats` / :func:`gif_frame_stats` / :func:`resize_media`
+dispatch on the magic bytes), with decoded stats ground-truth
+oracle-statable via :func:`synth_pixel_png` / :func:`synth_pixel_gif`
+(deterministic pixel/palette formulas). JPEG/audio/video PIXEL decode
+remains legitimately stubbed — a DCT/codec implementation is the
+library this container lacks — while their header paths stay real. The
+Spark side (schema, batch shape, partitioning, UDF signature) is real
+and tested throughout.
 """
 
 from __future__ import annotations
@@ -313,16 +316,34 @@ def synth_pixel_png(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
 
 
-def png_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel decode (``functions/png.py``: chunk walk + CRC-32
-    verification + zlib inflate + all-five-filter unfiltering — the
-    ``DecodeImage`` analog, ppocr/data/imaug/operators.py:30-68) →
-    per-image channel sums and mean. Sums are exact integers and the
-    mean is ONE IEEE division of exact ints (hash-portable); a payload
-    that is not a decodable truecolor-8 PNG yields ``ok=false`` with
-    null stats instead of failing the job (total-function
-    discipline)."""
-    from webextract.functions.png import decode_png
+def decode_image(b: bytes):
+    """Raw bytes → (h, w, 3) uint8 by magic-byte dispatch: PNG via the
+    zlib/unfilter codec (functions/png.py), GIF via the LZW codec's
+    FIRST frame (functions/gif.py) — exactly the reference's
+    ``check_and_read`` shape (ppocr/utils/utility.py:95-104: a GIF
+    contributes frame 0, everything downstream sees one ndarray).
+    Unsupported formats raise ValueError (JPEG: legitimately stubbed,
+    a DCT entropy decoder is the codec library this container lacks).
+    """
+    from webextract.functions.gif import GIF_SIGS, decode_gif
+    from webextract.functions.png import PNG_SIG, decode_png
+
+    if b[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(b)
+    if b[:6] in GIF_SIGS:
+        return decode_gif(b)
+    raise ValueError("no pixel codec for this format (png/gif only)")
+
+
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel decode (:func:`decode_image`: PNG chunk walk + CRC-32
+    verification + zlib inflate + all-five-filter unfiltering, or GIF
+    LZW + palette — the ``DecodeImage`` analog,
+    ppocr/data/imaug/operators.py:30-68) → per-image channel sums and
+    mean. Sums are exact integers and the mean is ONE IEEE division of
+    exact ints (hash-portable); a payload that is not a decodable
+    PNG/GIF yields ``ok=false`` with null stats instead of failing the
+    job (total-function discipline)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -334,7 +355,7 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 row = {"media_id": int(mid), "ok": False}
                 try:
-                    arr = decode_png(bytes(b))
+                    arr = decode_image(bytes(b))
                     s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                     n_px = arr.shape[0] * arr.shape[1]
                     row.update(
@@ -356,19 +377,27 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, PIXELS_SCHEMA)
 
 
+# back-compat name from the round the codec was PNG-only; the GIF
+# dispatch is a strict extension (PNG payloads take the same path)
+png_pixel_stats = pixel_stats
+
+
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """REAL resize for PNG payloads — decode (full unfilter path),
-    nearest-neighbor resample with the exact-integer index map
-    ``src = (dst · src_dim) // dst_dim``, re-encode as a valid PNG.
+    """REAL resize for PNG/GIF payloads — decode (:func:`decode_image`
+    magic dispatch; GIF contributes its first frame, the
+    ``check_and_read`` convention), nearest-neighbor resample with the
+    exact-integer index map ``src = (dst · src_dim) // dst_dim``,
+    re-encode as a valid PNG (the normalize step: every format leaves
+    as truecolor, as the reference's BGR-ndarray convention does).
     The index map is floor arithmetic, so the oracle states every
     output pixel (and therefore the channel sums) straight from the
     input-pixel formulas; the re-encoded payload is pinned by the
     decode(encode(resize)) round-trip test rather than the oracle
     (deflate bytes are library-dependent, the pixels are not).
-    Non-PNG / non-truecolor payloads yield ``ok=false`` rows — JPEG
-    remains legitimately stubbed (a DCT entropy decoder IS the codec
-    library this container lacks)."""
-    from webextract.functions.png import decode_png, encode_png, resize_nearest
+    Undecodable payloads yield ``ok=false`` rows — JPEG remains
+    legitimately stubbed (a DCT entropy decoder IS the codec library
+    this container lacks)."""
+    from webextract.functions.png import encode_png, resize_nearest
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -381,7 +410,7 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 row = {"media_id": int(mid), "ok": False}
                 try:
                     arr = resize_nearest(
-                        decode_png(bytes(b)), target_w, target_h
+                        decode_image(bytes(b)), target_w, target_h
                     )
                     s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                     row.update(
@@ -400,6 +429,122 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_id", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synth_pixel_gif(docs: DataFrame, multi_frame: bool = False) -> DataFrame:
+    """FULL valid GIF89a payloads with deterministic palette/index
+    formulas — the fixture behind the real-LZW-decode queries. Image
+    ``doc_id``: ``w = doc_id%8+1``, ``h = doc_id%6+1``, palette size
+    ``2^(doc_id%3+2)`` (4/8/16 colors, so the LZW minimum code size
+    varies), index at (x, y) is ``(doc_id + 5x + 3y) % n_colors`` and
+    palette entry ``i`` is ``((doc_id+17i)%256, (doc_id+29i)%256,
+    (doc_id+43i)%256)`` — pure integer arithmetic, so the DECODED
+    channel sums are ground-truth statable in SQL. Odd doc_ids are
+    written INTERLACED, so the four-pass reorder path runs on driver
+    data. With ``multi_frame``, image ``doc_id`` carries
+    ``doc_id%3 + 1`` frames and frame ``f``'s index formula adds
+    ``7f`` — a real animated-GIF container."""
+    from webextract.functions.gif import encode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = mid % 8 + 1, mid % 6 + 1
+                nc = 1 << (mid % 3 + 2)
+                i = np.arange(nc, dtype=np.int64)
+                pal = np.stack(
+                    [(mid + 17 * i) % 256, (mid + 29 * i) % 256,
+                     (mid + 43 * i) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                n_frames = mid % 3 + 1 if multi_frame else 1
+                frames = [
+                    (mid + 5 * x + 3 * y + 7 * f) % nc
+                    for f in range(n_frames)
+                ]
+                payloads.append(
+                    encode_gif(frames, pal, interlace=bool(mid % 2))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/gif",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL animated-GIF frame fan-out: every image block in the
+    container is LZW-decoded (functions/gif.py) and emitted as one row
+    of exact-integer channel sums — the pixel-true analog of the
+    reference's multi-page explode (``check_and_read``'s PDF branch,
+    ppocr/utils/utility.py:110-120, one image per page) where
+    :func:`frame_sample` fans out only container METADATA. Undecodable
+    payloads yield one ``ok=false`` row (total-function discipline)."""
+    from webextract.functions.gif import decode_gif_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k.name: [] for k in FRAME_PIXELS_SCHEMA.fields}
+
+            def push(row):
+                for f in FRAME_PIXELS_SCHEMA.fields:
+                    out[f.name].append(row.get(f.name))
+
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_gif_frames(bytes(b))
+                except ValueError:
+                    push({"media_id": int(mid), "ok": False})
+                    continue
+                for fid, arr in enumerate(frames):
+                    s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    push(
+                        {
+                            "media_id": int(mid),
+                            "frame_id": fid,
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "sum_r": int(s[0]),
+                            "sum_g": int(s[1]),
+                            "sum_b": int(s[2]),
+                            "ok": True,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, FRAME_PIXELS_SCHEMA
+    )
 
 
 def explode_pages(media: DataFrame) -> DataFrame:
