@@ -120,6 +120,8 @@ def main() -> None:
         "pretrain_pack",
         "png_decode",
         "png_resize",
+        "gif_pixels",
+        "gif_frames",
         "kmeans_assign",
         "bm25",
         "blocklist",
