@@ -1513,6 +1513,25 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            multi_frame=True))
 
 
+def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode under the oracle gate (the
+    DecodeImage graft, ppocr/data/imaug/operators.py:30-68): full
+    valid JFIF streams — canonical Huffman entropy coding, 4:4:4 and
+    4:2:0 sampling, restart markers — are synthesized from
+    constant-block formulas that survive the lossy transform exactly
+    (one integer DC coefficient per block under flat quantization),
+    then decoded by the from-scratch T.81 codec (functions/jpeg.py:
+    Huffman → dequant → IDCT → YCbCr→RGB, no image library). The
+    oracle states the channel sums straight from the planted block
+    values — ground truth the decoder cannot mirror."""
+    from webextract.operators.multimodal import (
+        pixel_stats,
+        synth_pixel_jpeg,
+    )
+
+    return pixel_stats(synth_pixel_jpeg(_docs(spark, sf_dir)))
+
+
 def _select_packed(packed: DataFrame) -> DataFrame:
     return packed.select(
         "doc_id",
@@ -2004,6 +2023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index/palette-formula oracles)
         "gif_pixels": q_gif_pixels,
         "gif_frames": q_gif_frames,
+        # jpeg_pixels: new (REAL baseline-JPEG decode — Huffman +
+        # dequant + IDCT + color convert — on constant-block fixtures
+        # that are exact under flat quantization)
+        "jpeg_pixels": q_jpeg_pixels,
         # bpe_*: learning loop refactored (shared rounds, strategies);
         # encode rerouted through the frozen-apply path
         "bpe_merges": q_bpe_merges,
@@ -3530,6 +3553,36 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                    CAST(sum_r AS BIGINT) AS sum_r,
                    CAST(sum_g AS BIGINT) AS sum_g,
                    CAST(sum_b AS BIGINT) AS sum_b,
+                   TRUE AS ok
+            FROM s
+        """,
+        # ground truth for the REAL baseline-JPEG decode: block (i,j)
+        # of image id is a constant 8x8 block of value
+        # v=(id+11i+5j)%256 on all channels — exact through the codec
+        # (flat quant => single integer DC coefficient per block), so
+        # the decoded sums are 64·Σv; the decoder (Huffman + dequant +
+        # IDCT + YCbCr->RGB) cannot mirror this.
+        "jpeg_pixels": """
+            WITH p AS (SELECT doc_id AS media_id,
+                              2 * (doc_id % 3 + 1) AS bw,
+                              2 * (doc_id % 2 + 1) AS bh
+                       FROM documents),
+            g AS (SELECT media_id, bw, bh, unnest(range(bh)) AS i FROM p),
+            c AS (SELECT media_id, bw, bh, i, unnest(range(bw)) AS j
+                  FROM g),
+            s AS (SELECT media_id, MIN(bw) AS bw, MIN(bh) AS bh,
+                         SUM(64 * ((media_id + 11 * i + 5 * j) % 256))
+                             AS sum_c
+                  FROM c GROUP BY media_id)
+            SELECT media_id,
+                   CAST(8 * bw AS INTEGER) AS width,
+                   CAST(8 * bh AS INTEGER) AS height,
+                   CAST(64 * bw * bh AS BIGINT) AS n_px,
+                   CAST(sum_c AS BIGINT) AS sum_r,
+                   CAST(sum_c AS BIGINT) AS sum_g,
+                   CAST(sum_c AS BIGINT) AS sum_b,
+                   CAST(3 * sum_c AS DOUBLE) / (3 * 64 * bw * bh)
+                       AS mean_px,
                    TRUE AS ok
             FROM s
         """,

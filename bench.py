@@ -122,6 +122,7 @@ def main() -> None:
         "png_resize",
         "gif_pixels",
         "gif_frames",
+        "jpeg_pixels",
         "kmeans_assign",
         "bm25",
         "blocklist",

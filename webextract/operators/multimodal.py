@@ -15,13 +15,19 @@ decode and resampling are REAL for PNG (``functions/png.py``: stdlib
 zlib over public per-scanline filters — CRC'd chunk walk, inflate,
 all-five-filter unfiltering, nearest-neighbor resize, re-encode) AND
 for GIF (``functions/gif.py``: hand-rolled variable-width LZW over the
-87a/89a block structure, local/global palettes, interlace, multi-frame
-— :func:`pixel_stats` / :func:`gif_frame_stats` / :func:`resize_media`
-dispatch on the magic bytes), with decoded stats ground-truth
-oracle-statable via :func:`synth_pixel_png` / :func:`synth_pixel_gif`
-(deterministic pixel/palette formulas). JPEG/audio/video PIXEL decode
-remains legitimately stubbed — a DCT/codec implementation is the
-library this container lacks — while their header paths stay real. The
+87a/89a block structure, local/global palettes, interlace,
+multi-frame) AND for JPEG (``functions/jpeg.py``: from-scratch ITU T.81 baseline
+— canonical Huffman entropy decode, dequantize, IDCT, chroma
+upsample, YCbCr→RGB; encoder included). :func:`pixel_stats` /
+:func:`gif_frame_stats` / :func:`resize_media` dispatch on the magic
+bytes, with decoded stats ground-truth oracle-statable via
+:func:`synth_pixel_png` / :func:`synth_pixel_gif` /
+:func:`synth_pixel_jpeg` (deterministic pixel/palette/DC-block
+formulas; the JPEG fixture is exact because constant equal-channel
+blocks quantize to a single integer DC coefficient under flat
+tables). Audio/video PIXEL decode remains legitimately stubbed —
+a PCM synthesizer exists but compressed A/V codecs are the library
+this container lacks — while their header paths stay real. The
 Spark side (schema, batch shape, partitioning, UDF signature) is real
 and tested throughout.
 """
@@ -319,20 +325,24 @@ def synth_pixel_png(docs: DataFrame) -> DataFrame:
 def decode_image(b: bytes):
     """Raw bytes → (h, w, 3) uint8 by magic-byte dispatch: PNG via the
     zlib/unfilter codec (functions/png.py), GIF via the LZW codec's
-    FIRST frame (functions/gif.py) — exactly the reference's
-    ``check_and_read`` shape (ppocr/utils/utility.py:95-104: a GIF
+    FIRST frame (functions/gif.py), JPEG via the baseline
+    Huffman+IDCT codec (functions/jpeg.py) — exactly the reference's
+    ``DecodeImage``/``check_and_read`` shape (ppocr/data/imaug/
+    operators.py:30-68, ppocr/utils/utility.py:95-104: a GIF
     contributes frame 0, everything downstream sees one ndarray).
-    Unsupported formats raise ValueError (JPEG: legitimately stubbed,
-    a DCT entropy decoder is the codec library this container lacks).
+    Unsupported formats raise ValueError.
     """
     from webextract.functions.gif import GIF_SIGS, decode_gif
+    from webextract.functions.jpeg import JPEG_SIG, decode_jpeg
     from webextract.functions.png import PNG_SIG, decode_png
 
     if b[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(b)
     if b[:6] in GIF_SIGS:
         return decode_gif(b)
-    raise ValueError("no pixel codec for this format (png/gif only)")
+    if b[:2] == JPEG_SIG:
+        return decode_jpeg(b)
+    raise ValueError("no pixel codec for this format (png/gif/jpeg)")
 
 
 def pixel_stats(media: DataFrame) -> DataFrame:
@@ -342,8 +352,8 @@ def pixel_stats(media: DataFrame) -> DataFrame:
     ppocr/data/imaug/operators.py:30-68) → per-image channel sums and
     mean. Sums are exact integers and the mean is ONE IEEE division of
     exact ints (hash-portable); a payload that is not a decodable
-    PNG/GIF yields ``ok=false`` with null stats instead of failing the
-    job (total-function discipline)."""
+    PNG/GIF/JPEG yields ``ok=false`` with null stats instead of
+    failing the job (total-function discipline)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -394,9 +404,7 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     input-pixel formulas; the re-encoded payload is pinned by the
     decode(encode(resize)) round-trip test rather than the oracle
     (deflate bytes are library-dependent, the pixels are not).
-    Undecodable payloads yield ``ok=false`` rows — JPEG remains
-    legitimately stubbed (a DCT entropy decoder IS the codec library
-    this container lacks)."""
+    Undecodable payloads yield ``ok=false`` rows."""
     from webextract.functions.png import encode_png, resize_nearest
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -492,6 +500,59 @@ def synth_pixel_gif(docs: DataFrame, multi_frame: bool = False) -> DataFrame:
                     "media_id": pdf["doc_id"].astype("int64"),
                     "payload": payloads,
                     "mime": "image/gif",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_pixel_jpeg(docs: DataFrame) -> DataFrame:
+    """FULL valid baseline JPEGs whose DECODE is bit-exact and
+    SQL-statable — the fixture behind the real-DCT-decode query.
+
+    Image ``doc_id`` is a grid of ``bh = 2·(doc_id%2+1)`` ×
+    ``bw = 2·(doc_id%3+1)`` constant 8×8 blocks (so 16-multiple
+    dimensions cover the 4:2:0 MCU too); block (i, j) has all three
+    channels equal to ``v = (doc_id + 11i + 5j) % 256``. Encoded with
+    FLAT quantization tables, a constant equal-channel block yields
+    exactly one integer coefficient (Y DC = 8·(v-128); every AC and
+    chroma coefficient is a ~1e-12 float that rounds to zero), so the
+    full entropy-decode → dequant → IDCT → color-convert path
+    reproduces ``v`` exactly and the oracle states the channel sums
+    as ``64·Σv``. Odd doc_ids are encoded 4:2:0 (subsample + upsample
+    path, exact on constant chroma), and every 5th image carries
+    restart markers (DRI/RSTn under the oracle gate)."""
+    from webextract.functions.jpeg import QUANT_FLAT, encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                bw, bh = 2 * (mid % 3 + 1), 2 * (mid % 2 + 1)
+                i = np.arange(bh, dtype=np.int64)[:, None]
+                j = np.arange(bw, dtype=np.int64)[None, :]
+                v = ((mid + 11 * i + 5 * j) % 256).astype(np.uint8)
+                plane = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+                img = np.stack([plane] * 3, axis=-1)
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        QUANT_FLAT,
+                        QUANT_FLAT,
+                        subsample=bool(mid % 2),
+                        restart_interval=2 if mid % 5 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/jpeg",
                 }
             )
 
