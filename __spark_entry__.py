@@ -1532,6 +1532,21 @@ def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(synth_pixel_jpeg(_docs(spark, sf_dir)))
 
 
+def q_pcm_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio SAMPLE decode: 16-bit-PCM WAV payloads (synth_wav —
+    spec-correct RIFF layout, doc text as the data chunk) have every
+    sample read back JVM-side as a little-endian signed int16 and
+    folded to (n_samples, sum, peak, mean) in ONE in-row aggregate —
+    no Python worker, no explode. The oracle recomputes the identical
+    statistics straight from the UTF-8 bytes of the text column
+    (per-byte hex arithmetic), i.e. from what was PLANTED, not from
+    the WAV container the operator must parse."""
+    from webextract.operators import multimodal
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return multimodal.pcm_samples(multimodal.synth_wav(docs))
+
+
 def _select_packed(packed: DataFrame) -> DataFrame:
     return packed.select(
         "doc_id",
@@ -2027,6 +2042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dequant + IDCT + color convert — on constant-block fixtures
         # that are exact under flat quantization)
         "jpeg_pixels": q_jpeg_pixels,
+        # pcm_samples: new (REAL 16-bit PCM sample decode, one in-row
+        # JVM aggregate; oracle from the planted bytes)
+        "pcm_samples": q_pcm_samples,
         # bpe_*: learning loop refactored (shared rounds, strategies);
         # encode rerouted through the frozen-apply path
         "bpe_merges": q_bpe_merges,
@@ -3585,6 +3603,37 @@ SELECT doc_id, band0, band1, band2, band3 FROM sig
                        AS mean_px,
                    TRUE AS ok
             FROM s
+        """,
+        # ground truth for the PCM sample decode: the WAV data chunk
+        # IS the doc text's UTF-8 bytes, so the oracle folds the same
+        # signed-LE-int16 stream straight from the text column —
+        # byte j of sample i sits at hex chars 2*(2i+j)+1..+2
+        "pcm_samples": """
+            WITH d AS (SELECT doc_id AS media_id, encode(text) AS b
+                       FROM documents WHERE text IS NOT NULL),
+            p AS (SELECT media_id, hex(b) AS h,
+                         octet_length(b) // 2 AS n_samp
+                  FROM d),
+            k AS (SELECT media_id, h, unnest(range(n_samp)) AS i FROM p),
+            s AS (SELECT media_id,
+                         CAST(('0x' || substr(h, 4 * i + 1, 2)) AS BIGINT)
+                         + 256 * CAST(('0x' || substr(h, 4 * i + 3, 2))
+                                      AS BIGINT) AS raw
+                  FROM k),
+            v AS (SELECT media_id,
+                         CASE WHEN raw >= 32768 THEN raw - 65536
+                              ELSE raw END AS samp
+                  FROM s),
+            a AS (SELECT media_id, SUM(samp) AS sum_amp,
+                         MAX(ABS(samp)) AS peak
+                  FROM v GROUP BY media_id)
+            SELECT p.media_id,
+                   CAST(p.n_samp AS BIGINT) AS n_samples,
+                   CAST(a.sum_amp AS BIGINT) AS sum_amp,
+                   CAST(a.peak AS BIGINT) AS peak_amp,
+                   CAST(a.sum_amp AS DOUBLE) / p.n_samp AS mean_amp,
+                   TRUE AS ok
+            FROM p LEFT JOIN a USING (media_id)
         """,
         "kmeans_assign": _kmeans_sql(),
         "semdedup": _semdedup_sql(),

@@ -123,6 +123,7 @@ def main() -> None:
         "gif_pixels",
         "gif_frames",
         "jpeg_pixels",
+        "pcm_samples",
         "kmeans_assign",
         "bm25",
         "blocklist",

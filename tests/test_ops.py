@@ -715,6 +715,48 @@ def test_synth_wav_roundtrip(spark, docs):
     assert bad == 0
 
 
+def test_pcm_samples_vs_stdlib_writer(spark):
+    """Sample-level PCM decode cross-validated against payloads from
+    Python's stdlib `wave` module: known int16 frames in, exact
+    (n, sum, peak, mean) out; odd data chunks floor to whole samples;
+    non-WAV and 8-bit payloads yield ok=false."""
+    import io
+    import struct
+    import wave
+
+    def wav_bytes(samples, sampwidth=2):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(sampwidth)
+            w.setframerate(8000)
+            if sampwidth == 2:
+                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            else:
+                w.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    vals = [0, 1, -1, 32767, -32768, 12345, -12345]
+    rows = [
+        (1, wav_bytes(vals)),
+        (2, wav_bytes([7]) + b"\x05"),  # trailing odd byte ignored
+        (3, b"not audio"),
+        (4, wav_bytes([65, 66, 67, 68], sampwidth=1)),  # 8-bit: no
+        (5, wav_bytes([])),  # zero samples: ok, NULL stats
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    r = {row.media_id: row for row in multimodal.pcm_samples(df).collect()}
+    assert r[1].n_samples == len(vals)
+    assert r[1].sum_amp == sum(vals)
+    assert r[1].peak_amp == 32768
+    assert abs(r[1].mean_amp - sum(vals) / len(vals)) < 1e-12
+    assert (r[2].n_samples, r[2].sum_amp, r[2].peak_amp) == (1, 7, 7)
+    assert r[3].ok is False and r[3].sum_amp is None
+    assert r[4].ok is False and r[4].n_samples is None
+    assert r[5].ok is True and r[5].n_samples == 0
+    assert r[5].sum_amp is None and r[5].mean_amp is None
+
+
 def test_synth_video_is_spec_correct_avi(spark):
     """Cross-validate the JVM-built AVI bytes against an independent
     struct parse (the WAV-vs-stdlib treatment): RIFF framing, LIST

@@ -739,6 +739,68 @@ def wav_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+def pcm_samples(media: DataFrame) -> DataFrame:
+    """REAL audio SAMPLE decode for 16-bit PCM WAV — the one audio
+    format whose decode needs no codec library (PCM data IS the
+    samples, RIFF spec / WAVE format 1). 100% JVM-side and in-row: a
+    single ``aggregate`` over ``sequence(0, n_samples-1)`` (the
+    constant-expression-size runtime-loop pattern) reads each
+    little-endian signed int16 with substring/hex/conv byte math and
+    folds (sum, peak) — no Python worker, no explode, no shuffle; the
+    parallelism axis stays media rows. Returns per-media
+    (n_samples, sum_amp, peak_amp, mean_amp, ok); ``mean_amp`` is ONE
+    IEEE division of exact ints (hash-portable). Non-WAV / non-16-bit
+    payloads yield ok=false with NULL stats (total-function
+    discipline). Reference analog: the raw-ndarray handoff after
+    ``DecodeImage`` (ppocr/data/imaug/operators.py:30-68) — decoded
+    samples, not container metadata."""
+    p = F.col("payload")
+    is_pcm16 = (
+        (F.substring(p, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(p, 9, 4) == F.lit(b"WAVE"))
+        & (F.length(p) >= 44)
+        & (_le_at(p, 21, 2) == 1)   # audio format: PCM
+        & (_le_at(p, 35, 2) == 16)  # bits per sample
+    )
+    data_len = F.least(_le_at(p, 41, 4), F.length(p) - 44)
+    n_samp = F.shiftright(data_len, 1)
+
+    def fold(acc, i):
+        pos = F.lit(45) + i.cast("long") * 2
+        b0 = F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast(
+            "long"
+        )
+        b1 = F.conv(
+            F.hex(F.substring(p, pos + 1, F.lit(1))), 16, 10
+        ).cast("long")
+        raw = b0 + b1 * 256
+        samp = F.when(raw >= 32768, raw - 65536).otherwise(raw)
+        return F.struct(
+            (acc["s"] + samp).alias("s"),
+            F.greatest(acc["peak"], F.abs(samp)).alias("peak"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("peak"),
+    )
+    # sequence(0, -1) DESCENDS — gate the fold on n_samples >= 1
+    agg = F.aggregate(
+        F.sequence(F.lit(0), (n_samp - 1).cast("int")), init, fold
+    )
+    stats = F.when(is_pcm16 & (n_samp >= 1), agg)
+    return media.select(
+        "media_id",
+        F.when(is_pcm16, n_samp).alias("n_samples"),
+        stats["s"].alias("sum_amp"),
+        stats["peak"].alias("peak_amp"),
+        (stats["s"].cast("double") / n_samp.cast("double")).alias(
+            "mean_amp"
+        ),
+        is_pcm16.alias("ok"),
+    )
+
+
 def synth_video(docs: DataFrame) -> DataFrame:
     """Deterministic REAL AVI containers (the video analog of
     :func:`synth_wav`): a spec-correct RIFF/AVI layout — ``RIFF`` size
