@@ -1529,7 +1529,7 @@ def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_pixel_jpeg,
     )
 
-    return pixel_stats(synth_pixel_jpeg(_docs(spark, sf_dir)))
+    return pixel_stats(synth_pixel_jpeg(_docs_spread(spark, sf_dir)))
 
 
 def q_pcm_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,7 +1543,7 @@ def q_pcm_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WAV container the operator must parse."""
     from webextract.operators import multimodal
 
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    docs = _docs_spread(spark, sf_dir).filter(F.col("text").isNotNull())
     return multimodal.pcm_samples(multimodal.synth_wav(docs))
 
 

@@ -311,3 +311,15 @@ def test_pretrain_pack_no_cartesian_range_split_pack(spark):
     plan = plan_of(entrymod.q_pretrain_pack(spark, SF), execute=True)
     assert "CartesianProduct" not in plan
     assert "_p#" in plan
+
+
+def test_pcm_samples_fold_evaluated_once(spark):
+    """The per-sample PCM fold is an interpreted higher-order
+    aggregate — the whole cost of the operator. Referencing it from
+    several output columns in one Project evaluates it once PER
+    REFERENCE (no CSE for interpreted expressions; this was a 6x
+    slowdown). Pin: exactly one aggregate(...) in the plan, and no
+    Python stage."""
+    plan = plan_of(entrymod.q_pcm_samples(spark, SF))
+    assert plan.count("aggregate(") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -788,16 +788,28 @@ def pcm_samples(media: DataFrame) -> DataFrame:
     agg = F.aggregate(
         F.sequence(F.lit(0), (n_samp - 1).cast("int")), init, fold
     )
-    stats = F.when(is_pcm16 & (n_samp >= 1), agg)
-    return media.select(
+    # Two-step projection: the interpreted higher-order fold is the
+    # whole cost of this operator, and referencing it three times in
+    # one Project evaluates it three times per row (no CSE for
+    # interpreted expressions). Alias it ONCE behind a projection
+    # boundary — CollapseProject keeps the split because an expensive
+    # producer with >1 consumer is never inlined.
+    mid = media.select(
         "media_id",
         F.when(is_pcm16, n_samp).alias("n_samples"),
-        stats["s"].alias("sum_amp"),
-        stats["peak"].alias("peak_amp"),
-        (stats["s"].cast("double") / n_samp.cast("double")).alias(
-            "mean_amp"
-        ),
+        F.when(is_pcm16 & (n_samp >= 1), agg).alias("_st"),
         is_pcm16.alias("ok"),
+    )
+    st = F.col("_st")
+    return mid.select(
+        "media_id",
+        "n_samples",
+        st["s"].alias("sum_amp"),
+        st["peak"].alias("peak_amp"),
+        (
+            st["s"].cast("double") / F.col("n_samples").cast("double")
+        ).alias("mean_amp"),
+        "ok",
     )
 
 
