@@ -1547,6 +1547,38 @@ def q_pcm_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.pcm_samples(multimodal.synth_wav(docs))
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction under the oracle gate — the PDF branch
+    of the reference's multi-format dispatch (``check_and_read``,
+    ppocr/utils/utility.py:102-120) made real: synth_pdf writes
+    complete PDF files (xref with true byte offsets, page tree, even
+    doc_ids FlateDecode-compressed, odd doc_ids with REVERSED stream
+    emission order and a planted same-line fragment) from pure doc_id
+    formulas; pdf_text walks startxref → xref → /Root → page tree →
+    content streams, tokenizes Tj/'/TJ with full string escapes, and
+    assembles READING order (desc y, asc x — the sorted_boxes analog).
+    The oracle states the per-page text straight from the planted
+    formulas via string_agg ORDER BY y DESC, x ASC — ground truth the
+    parser cannot mirror."""
+    from webextract.operators import multimodal
+
+    return multimodal.pdf_text(multimodal.synth_pdf(_docs_spread(spark, sf_dir)))
+
+
+def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF structural metadata from the same real parse: header
+    version, page count via the page-tree walk, object count via the
+    xref table, compression flag, total fragments/characters. Every
+    output is a doc_id formula (n_objects = 3 + 2·n_pages is the
+    writer's fixed object layout), so the oracle is pure ground
+    truth."""
+    from webextract.operators import multimodal
+
+    return multimodal.pdf_metadata(
+        multimodal.synth_pdf(_docs_spread(spark, sf_dir))
+    )
+
+
 def _select_packed(packed: DataFrame) -> DataFrame:
     return packed.select(
         "doc_id",
@@ -2024,6 +2056,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_LOCAL_r5.json)."""
     return {
         # -- round 5: new or changed --
+        # pdf_text/pdf_meta: new (REAL PDF parse — xref walk, page
+        # tree, FlateDecode, text-operator tokenize, reading-order
+        # assembly; ground-truth planted-formula oracles)
+        "pdf_text": q_pdf_text,
+        "pdf_meta": q_pdf_meta,
         # lineage: first-ever ORACLE row (was the one rows-only entry)
         "lineage": q_lineage,
         # bpe_apply/pretrain_pack: new (frozen-tokenizer seam + e2e path)
@@ -2346,6 +2383,72 @@ FROM documents docs LEFT JOIN comp c USING (doc_id)
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # pdf_text/pdf_meta: GROUND-TRUTH oracles — the planted
+        # fragment formulas of multimodal._pdf_plan restated in SQL
+        # (the Spark side must parse real PDF bytes to reach them);
+        # reading order = ORDER BY y DESC, x ASC inside string_agg.
+        "pdf_text": """
+            WITH d AS (SELECT doc_id AS media_id, doc_id % 3 + 1 AS n_pages
+                       FROM documents),
+            pg AS (SELECT media_id, unnest(range(n_pages)) AS p FROM d),
+            fr AS (SELECT media_id, p,
+                          unnest(range((media_id + p) % 4 + 2)) AS i
+                   FROM pg),
+            b AS (SELECT media_id, p, i,
+                         'w' || CAST((media_id * 7 + p * 13 + i * 3) % 50
+                                     AS VARCHAR) AS base
+                  FROM fr),
+            t AS (SELECT media_id, p,
+                         CASE WHEN (media_id + i) % 5 = 0
+                                   THEN '(' || base || ')'
+                              WHEN (media_id + i) % 7 = 0 THEN base || '\\'
+                              ELSE base END AS txt,
+                         CASE WHEN media_id % 2 = 1 AND i = 1 THEN 720
+                              ELSE 720 - 40 * i END AS y,
+                         CASE WHEN media_id % 2 = 1 AND i = 1 THEN 300
+                              ELSE 72 + ((media_id + p + i) % 3) * 10
+                              END AS x
+                  FROM b)
+            SELECT media_id,
+                   CAST(p + 1 AS INTEGER) AS page_no,
+                   CAST(COUNT(*) AS INTEGER) AS n_frags,
+                   string_agg(txt, ' ' ORDER BY y DESC, x ASC) AS text,
+                   CAST(SUM(LENGTH(txt)) + COUNT(*) - 1 AS INTEGER)
+                       AS n_chars
+            FROM t GROUP BY media_id, p
+        """,
+        "pdf_meta": """
+            WITH d AS (SELECT doc_id AS media_id, doc_id % 3 + 1 AS n_pages
+                       FROM documents),
+            pg AS (SELECT media_id, unnest(range(n_pages)) AS p FROM d),
+            fr AS (SELECT media_id, p,
+                          unnest(range((media_id + p) % 4 + 2)) AS i
+                   FROM pg),
+            b AS (SELECT media_id, p, i,
+                         'w' || CAST((media_id * 7 + p * 13 + i * 3) % 50
+                                     AS VARCHAR) AS base
+                  FROM fr),
+            t AS (SELECT media_id, p,
+                         CASE WHEN (media_id + i) % 5 = 0
+                                   THEN '(' || base || ')'
+                              WHEN (media_id + i) % 7 = 0 THEN base || '\\'
+                              ELSE base END AS txt
+                  FROM b),
+            agg AS (SELECT media_id, p, COUNT(*) AS k,
+                           SUM(LENGTH(txt)) AS chars
+                    FROM t GROUP BY media_id, p),
+            tot AS (SELECT media_id, SUM(k) AS total_frags,
+                           SUM(chars + k - 1) AS total_chars
+                    FROM agg GROUP BY media_id)
+            SELECT d.media_id,
+                   '1.' || CAST(4 + d.media_id % 3 AS VARCHAR) AS version,
+                   CAST(d.n_pages AS INTEGER) AS n_pages,
+                   CAST(3 + 2 * d.n_pages AS INTEGER) AS n_objects,
+                   d.media_id % 2 = 0 AS compressed,
+                   CAST(tot.total_frags AS INTEGER) AS total_frags,
+                   CAST(tot.total_chars AS INTEGER) AS total_chars
+            FROM d JOIN tot USING (media_id)
+        """,
         "extract": f"SELECT {_URL} AS url, {_EXTRACTED} AS text FROM documents",
         "extract_markdown": f"SELECT {_URL} AS url, '# ' || {_EXTRACTED}"
         " AS text FROM documents",

@@ -70,6 +70,8 @@ def main() -> None:
     # -- headline operator queries (one timed run each) -----------------
     qs = entrymod.queries()
     headline = [
+        "pdf_text",
+        "pdf_meta",
         "extract_markdown",
         "warc_roundtrip",
         "tables",

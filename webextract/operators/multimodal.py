@@ -25,7 +25,11 @@ bytes, with decoded stats ground-truth oracle-statable via
 :func:`synth_pixel_jpeg` (deterministic pixel/palette/DC-block
 formulas; the JPEG fixture is exact because constant equal-channel
 blocks quantize to a single integer DC coefficient under flat
-tables). Audio/video PIXEL decode remains legitimately stubbed —
+tables). PDF documents are REAL too (``functions/pdf.py``: from-scratch
+writer/parser — xref walk, page tree, FlateDecode via stdlib zlib,
+text-operator tokenizer, reading-order assembly; :func:`synth_pdf` /
+:func:`pdf_text` / :func:`pdf_metadata` put the whole chain under
+ground-truth oracles). Audio/video PIXEL decode remains legitimately stubbed —
 a PCM synthesizer exists but compressed A/V codecs are the library
 this container lacks — while their header paths stay real. The
 Spark side (schema, batch shape, partitioning, UDF signature) is real
@@ -1011,3 +1015,172 @@ def synth_media(docs: DataFrame) -> DataFrame:
         payload.alias("payload"),
         F.lit("application/x-fakeimg").alias("mime"),
     )
+
+
+def _pdf_plan(mid: int):
+    """Deterministic PDF content plan for ``synth_pdf`` — every value a
+    pure integer/string formula on doc_id so the parsed text is
+    ground-truth statable in SQL. Returns (version, compress, pages)
+    where pages hold fragments in EMISSION order (reversed for odd
+    doc_ids, so reading-order assembly in the parser is doing real
+    work, not echoing stream order)."""
+    version = "1.%d" % (4 + mid % 3)
+    compress = mid % 2 == 0
+    pages = []
+    for p in range(mid % 3 + 1):
+        k = (mid + p) % 4 + 2
+        frags = []
+        for i in range(k):
+            base = "w%d" % ((mid * 7 + p * 13 + i * 3) % 50)
+            if (mid + i) % 5 == 0:
+                text = "(" + base + ")"       # parens → escape path
+            elif (mid + i) % 7 == 0:
+                text = base + "\\"            # backslash → escape path
+            else:
+                text = base
+            if mid % 2 == 1 and i == 1:       # same line as frag 0 →
+                y, x = 720, 300               # x is the order tiebreak
+            else:
+                y = 720 - 40 * i
+                x = 72 + ((mid + p + i) % 3) * 10
+            split = len(text) // 2 if (mid + i) % 3 == 0 and len(text) > 1 else None
+            frags.append((x, y, text, split))
+        if mid % 2 == 1:
+            frags.reverse()
+        pages.append(frags)
+    return version, compress, pages
+
+
+def synth_pdf(docs: DataFrame) -> DataFrame:
+    """REAL PDF fixture: complete files (header, numbered objects, xref
+    with true byte offsets, trailer; even doc_ids FlateDecode-compress
+    every content stream, odd doc_ids emit fragments in reversed
+    stream order) built by the from-scratch writer in
+    ``functions/pdf.py`` from the :func:`_pdf_plan` formulas. The PDF
+    branch of the reference's ``check_and_read``
+    (ppocr/utils/utility.py:102-120) made real for webtext."""
+    from webextract.functions.pdf import encode_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for mid in pdf["doc_id"]:
+                version, compress, pages = _pdf_plan(int(mid))
+                payloads.append(
+                    encode_pdf(
+                        [[f for f in pg] for pg in pages],
+                        compress=compress,
+                        version=version,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "mime": "application/pdf",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+PDF_TEXT_SCHEMA = (
+    "media_id long, page_no int, n_frags int, text string, n_chars int"
+)
+
+
+def pdf_text(media: DataFrame) -> DataFrame:
+    """PDF payload → per-page extracted text in READING order: full
+    structural parse (startxref → xref → trailer /Root → page tree →
+    FlateDecode content streams → Tj/'/TJ fragments), then the
+    ``sorted_boxes`` analog — fragments sorted top-to-bottom,
+    left-to-right (tools/infer/predict_system.py reading-order sort) —
+    joined with single spaces. Arrow-batched per-row Python: the
+    document parse is the SURVEY §2.10-budgeted case, same as HTML."""
+    from webextract.functions.pdf import PdfError, parse_pdf, reading_order
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mids, pnos, nfr, txt, nch = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _, pages, _, _ = parse_pdf(bytes(payload))
+                except PdfError:
+                    continue  # malformed input → no pages (counted vs oracle)
+                for p, frags in enumerate(pages):
+                    joined = " ".join(t for _, _, t in reading_order(frags))
+                    mids.append(int(mid))
+                    pnos.append(p + 1)
+                    nfr.append(len(frags))
+                    txt.append(joined)
+                    nch.append(len(joined))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "page_no": pd.Series(pnos, dtype="int32"),
+                    "n_frags": pd.Series(nfr, dtype="int32"),
+                    "text": pd.Series(txt, dtype="object"),
+                    "n_chars": pd.Series(nch, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, PDF_TEXT_SCHEMA)
+
+
+PDF_META_SCHEMA = (
+    "media_id long, version string, n_pages int, n_objects int, "
+    "compressed boolean, total_frags int, total_chars int"
+)
+
+
+def pdf_metadata(media: DataFrame) -> DataFrame:
+    """Per-document PDF structure metadata from the real parse: header
+    version, page count from the page-tree walk, object count from the
+    xref table, whether any content stream was filtered, and total
+    extracted fragments/characters. The metadata-peek stage of the
+    multi-format dispatch (``check_and_read``), PDF edition."""
+    from webextract.functions.pdf import PdfError, parse_pdf, reading_order
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in (
+                "media_id", "version", "n_pages", "n_objects",
+                "compressed", "total_frags", "total_chars",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    version, pages, compressed, n_objects = parse_pdf(
+                        bytes(payload)
+                    )
+                except PdfError:
+                    continue
+                total_chars = sum(
+                    len(" ".join(t for _, _, t in reading_order(fr)))
+                    for fr in pages
+                )
+                rows["media_id"].append(int(mid))
+                rows["version"].append(version)
+                rows["n_pages"].append(len(pages))
+                rows["n_objects"].append(n_objects)
+                rows["compressed"].append(bool(compressed))
+                rows["total_frags"].append(sum(len(fr) for fr in pages))
+                rows["total_chars"].append(total_chars)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "version": pd.Series(rows["version"], dtype="object"),
+                    "n_pages": pd.Series(rows["n_pages"], dtype="int32"),
+                    "n_objects": pd.Series(rows["n_objects"], dtype="int32"),
+                    "compressed": pd.Series(rows["compressed"], dtype="bool"),
+                    "total_frags": pd.Series(rows["total_frags"], dtype="int32"),
+                    "total_chars": pd.Series(rows["total_chars"], dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, PDF_META_SCHEMA)
