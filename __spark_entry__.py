@@ -1579,6 +1579,37 @@ def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE multi-format dispatch end-to-end — one corpus where
+    even doc_ids are HTML pages (the frozen extraction template) and
+    odd doc_ids are real PDF files, extracted by ONE Arrow stage that
+    sniffs each payload and routes it to the matching real parser
+    (``check_and_read``, ppocr/utils/utility.py:94-124: one reader,
+    per-file dispatch). HTML rows must reproduce the byte-identical
+    extraction text; PDF rows the reading-order page texts joined by
+    blank lines. The oracle unions the two ground truths — template
+    arithmetic for HTML, planted fragment formulas for PDF."""
+    from webextract.operators import multimodal
+
+    docs = _docs_spread(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    headline = F.concat(
+        F.lit("Document "), doc_id.cast("string"),
+        F.lit(" from "), F.col("source"),
+    )
+    html_str = F.concat(
+        F.lit(_TPL_HEAD), headline, F.lit(_TPL_MID),
+        F.col("text"), F.lit(_TPL_TAIL),
+    )
+    html_media = docs.filter(doc_id % 2 == 0).select(
+        doc_id.alias("media_id"),
+        F.encode(html_str, "UTF-8").alias("payload"),
+        F.lit("text/html").alias("mime"),
+    )
+    pdf_media = multimodal.synth_pdf(docs.filter(doc_id % 2 == 1))
+    return multimodal.extract_any(html_media.unionByName(pdf_media))
+
+
 def _select_packed(packed: DataFrame) -> DataFrame:
     return packed.select(
         "doc_id",
@@ -2061,6 +2092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assembly; ground-truth planted-formula oracles)
         "pdf_text": q_pdf_text,
         "pdf_meta": q_pdf_meta,
+        # mixed_extract: new (one-pass per-element format dispatch —
+        # html through the block pipeline, pdf through the real parse)
+        "mixed_extract": q_mixed_extract,
         # lineage: first-ever ORACLE row (was the one rows-only entry)
         "lineage": q_lineage,
         # bpe_apply/pretrain_pack: new (frozen-tokenizer seam + e2e path)
@@ -2448,6 +2482,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tot.total_frags AS INTEGER) AS total_frags,
                    CAST(tot.total_chars AS INTEGER) AS total_chars
             FROM d JOIN tot USING (media_id)
+        """,
+        # mixed_extract: union of the two ground truths — template
+        # arithmetic for the even/html half, planted PDF fragment
+        # formulas (reading-order string_agg) for the odd/pdf half.
+        "mixed_extract": f"""
+            WITH h AS (SELECT doc_id AS media_id, 'html' AS fmt,
+                              CAST(1 AS INTEGER) AS n_pages,
+                              {_EXTRACTED} AS text
+                       FROM documents WHERE doc_id % 2 = 0),
+            d AS (SELECT doc_id AS media_id, doc_id % 3 + 1 AS n_pages
+                  FROM documents WHERE doc_id % 2 = 1),
+            pg AS (SELECT media_id, unnest(range(n_pages)) AS p FROM d),
+            fr AS (SELECT media_id, p,
+                          unnest(range((media_id + p) % 4 + 2)) AS i
+                   FROM pg),
+            b AS (SELECT media_id, p, i,
+                         'w' || CAST((media_id * 7 + p * 13 + i * 3) % 50
+                                     AS VARCHAR) AS base
+                  FROM fr),
+            t AS (SELECT media_id, p,
+                         CASE WHEN (media_id + i) % 5 = 0
+                                   THEN '(' || base || ')'
+                              WHEN (media_id + i) % 7 = 0 THEN base || '\\'
+                              ELSE base END AS txt,
+                         CASE WHEN media_id % 2 = 1 AND i = 1 THEN 720
+                              ELSE 720 - 40 * i END AS y,
+                         CASE WHEN media_id % 2 = 1 AND i = 1 THEN 300
+                              ELSE 72 + ((media_id + p + i) % 3) * 10
+                              END AS x
+                  FROM b),
+            page_txt AS (SELECT media_id, p,
+                                string_agg(txt, ' ' ORDER BY y DESC, x ASC)
+                                    AS ptext
+                         FROM t GROUP BY media_id, p),
+            doc_txt AS (SELECT media_id,
+                               CAST(COUNT(*) AS INTEGER) AS n_pages,
+                               string_agg(ptext, chr(10) || chr(10)
+                                          ORDER BY p) AS text
+                        FROM page_txt GROUP BY media_id)
+            SELECT media_id, fmt, n_pages, text,
+                   CAST(LENGTH(text) AS INTEGER) AS n_chars
+            FROM h
+            UNION ALL
+            SELECT media_id, 'pdf' AS fmt, n_pages, text,
+                   CAST(LENGTH(text) AS INTEGER) AS n_chars
+            FROM doc_txt
         """,
         "extract": f"SELECT {_URL} AS url, {_EXTRACTED} AS text FROM documents",
         "extract_markdown": f"SELECT {_URL} AS url, '# ' || {_EXTRACTED}"

@@ -272,3 +272,41 @@ def test_pdf_operators_on_spark(spark):
             assert row["text"] == expect
             assert row["n_frags"] == len(frags)
             assert row["n_chars"] == len(expect)
+
+
+def test_extract_any_dispatch(spark):
+    """One Arrow stage routes html → block pipeline, pdf → real parse."""
+    from webextract.config import ExtractConfig
+    from webextract.functions.extract import extract_page
+    from webextract.operators.multimodal import (
+        _pdf_plan,
+        extract_any,
+        synth_pdf,
+    )
+
+    html = (
+        b"<html><body><nav><a href='/'>Home</a></nav>"
+        b"<article><h1>Title here</h1><p>Body text of the page, long "
+        b"enough to be kept by the scorer as main content."
+        b"</p></article></body></html>"
+    )
+    html_df = spark.createDataFrame(
+        [(100, bytearray(html), "text/html")],
+        "media_id long, payload binary, mime string",
+    )
+    pdf_df = synth_pdf(
+        spark.createDataFrame([(7, "t")], "doc_id long, text string")
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_any(html_df.unionByName(pdf_df)).collect()
+    }
+    assert rows[100]["fmt"] == "html" and rows[100]["n_pages"] == 1
+    assert rows[100]["text"] == extract_page(html, ExtractConfig())["text"]
+    _, _, pages = _pdf_plan(7)
+    expect = "\n\n".join(
+        " ".join(t for _, _, t in reading_order([f[:3] for f in pg]))
+        for pg in pages
+    )
+    assert rows[7]["fmt"] == "pdf" and rows[7]["n_pages"] == len(pages)
+    assert rows[7]["text"] == expect

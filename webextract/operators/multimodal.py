@@ -1184,3 +1184,66 @@ def pdf_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, PDF_META_SCHEMA)
+
+
+ANY_EXTRACT_SCHEMA = (
+    "media_id long, fmt string, n_pages int, text string, n_chars int"
+)
+
+
+def extract_any(media: DataFrame, cfg=None) -> DataFrame:
+    """Single-pass multi-format content extraction — the complete
+    ``check_and_read`` graft (ppocr/utils/utility.py:94-124, where ONE
+    reader dispatches GIF/PDF/image per file): each payload is sniffed
+    per element inside ONE Arrow stage and routed to the matching real
+    parser. ``%PDF-`` → full structural PDF parse, reading-order page
+    texts joined by blank lines; anything else → the fused HTML block
+    pipeline (charset decode → tokenize → score → span-merge,
+    ``functions/extract.py::extract_page``). One JVM↔Python crossing
+    for the whole mixed corpus — no per-format filter/union re-scan.
+    """
+    from webextract.config import ExtractConfig
+    from webextract.functions.extract import extract_page
+    from webextract.functions.pdf import PdfError, parse_pdf, reading_order
+
+    cfg = cfg or ExtractConfig()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mids, fmts, npg, txt = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if b.startswith(b"%PDF-"):
+                    try:
+                        _, pages, _, _ = parse_pdf(b)
+                    except PdfError:
+                        continue  # malformed → dropped (counted vs oracle)
+                    text = "\n\n".join(
+                        " ".join(t for _, _, t in reading_order(fr))
+                        for fr in pages
+                    )
+                    fmt, n_pages = "pdf", len(pages)
+                else:
+                    text = extract_page(b, cfg)["text"]
+                    fmt, n_pages = "html", 1
+                mids.append(int(mid))
+                fmts.append(fmt)
+                npg.append(n_pages)
+                txt.append(text)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "n_pages": pd.Series(npg, dtype="int32"),
+                    "text": pd.Series(txt, dtype="object"),
+                    "n_chars": pd.Series(
+                        [len(t) for t in txt], dtype="int32"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, ANY_EXTRACT_SCHEMA
+    )
