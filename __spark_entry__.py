@@ -1579,6 +1579,24 @@ def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-COLUMN layout recovery (SURVEY §2 W2 — the reference's
+    ``sorted_layout_boxes``, ppstructure/recovery/recovery_to_doc.py:
+    81-140): synth_pdf_columns writes real PDFs whose pages carry a
+    full-width title, left/right column fragment pairs SHARING each
+    row's y, and (odd doc_ids) a mid-page spanner that splits the
+    columns into two flushed segments. Plain reading order (desc y,
+    asc x) interleaves the columns row by row on EVERY document, so a
+    hash match proves the column classifier + flush semantics, not the
+    sort. The oracle states the planted segment/side/row order as
+    ground truth (string_agg ORDER BY segment, side, row)."""
+    from webextract.operators import multimodal
+
+    return multimodal.pdf_columns(
+        multimodal.synth_pdf_columns(_docs_spread(spark, sf_dir))
+    )
+
+
 def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE multi-format dispatch end-to-end — one corpus where
     even doc_ids are HTML pages (the frozen extraction template) and
@@ -2092,6 +2110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assembly; ground-truth planted-formula oracles)
         "pdf_text": q_pdf_text,
         "pdf_meta": q_pdf_meta,
+        # pdf_columns: new (W2 — two-column layout recovery, the
+        # sorted_layout_boxes analog; planted two-column fixture)
+        "pdf_columns": q_pdf_columns,
         # mixed_extract: new (one-pass per-element format dispatch —
         # html through the block pipeline, pdf through the real parse)
         "mixed_extract": q_mixed_extract,
@@ -2482,6 +2503,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tot.total_frags AS INTEGER) AS total_frags,
                    CAST(tot.total_chars AS INTEGER) AS total_chars
             FROM d JOIN tot USING (media_id)
+        """,
+        # pdf_columns: GROUND-TRUTH oracle — the planted two-column
+        # plan of multimodal._pdf_col_plan restated as explicit
+        # (segment, side, row) sort keys: title spanner first, then
+        # per segment the left column then the right column in row
+        # order, with the odd-doc mid spanner between segments. The
+        # Spark side must parse real PDF bytes AND run the
+        # sorted_layout_boxes classifier/flush walk to reach this.
+        "pdf_columns": """
+            WITH d AS (SELECT doc_id AS media_id,
+                              doc_id % 3 + 3 AS n_rows,
+                              (doc_id % 3 + 3) // 2 AS h
+                       FROM documents),
+            rows_ AS (SELECT media_id, h, unnest(range(n_rows)) AS r
+                      FROM d),
+            cols AS (
+              SELECT media_id,
+                     CASE WHEN media_id % 2 = 1 AND r >= h
+                          THEN 3 ELSE 1 END AS k1,
+                     0 AS side, r,
+                     'L' || CAST((media_id * 7 + r * 3) % 50 AS VARCHAR)
+                         AS txt
+              FROM rows_
+              UNION ALL
+              SELECT media_id,
+                     CASE WHEN media_id % 2 = 1 AND r >= h
+                          THEN 3 ELSE 1 END,
+                     1, r,
+                     'R' || CAST((media_id * 11 + r * 5) % 50 AS VARCHAR)
+              FROM rows_),
+            spans AS (
+              SELECT media_id, 0 AS k1, 0 AS side, 0 AS r,
+                     'T' || lpad(CAST(media_id % 50 AS VARCHAR), 2, '0')
+                         || repeat('x', 57) AS txt
+              FROM d
+              UNION ALL
+              SELECT media_id, 2, 0, 0,
+                     'M' || lpad(CAST(media_id % 50 AS VARCHAR), 2, '0')
+                         || repeat('y', 57)
+              FROM d WHERE media_id % 2 = 1),
+            allf AS (SELECT * FROM cols UNION ALL SELECT * FROM spans),
+            agg AS (SELECT media_id,
+                           string_agg(txt, ' ' ORDER BY k1, side, r)
+                               AS text
+                    FROM allf GROUP BY media_id)
+            SELECT d.media_id,
+                   CAST(1 AS INTEGER) AS page_no,
+                   'double' AS layout,
+                   CAST(1 + d.media_id % 2 AS INTEGER) AS n_spanners,
+                   CAST(d.n_rows AS INTEGER) AS n_left,
+                   CAST(d.n_rows AS INTEGER) AS n_right,
+                   agg.text,
+                   CAST(LENGTH(agg.text) AS INTEGER) AS n_chars
+            FROM d JOIN agg USING (media_id)
         """,
         # mixed_extract: union of the two ground truths — template
         # arithmetic for the even/html half, planted PDF fragment

@@ -72,6 +72,7 @@ def main() -> None:
     headline = [
         "pdf_text",
         "pdf_meta",
+        "pdf_columns",
         "mixed_extract",
         "extract_markdown",
         "warc_roundtrip",

@@ -238,6 +238,74 @@ def test_xref_prev_chain():
     assert pages == [[(10.0, 10.0, "new")]]
 
 
+# ------------------------------------------------ two-column layout (W2)
+
+
+def test_column_layout_single_column_is_plain_order():
+    from webextract.functions.pdf import column_layout_order
+
+    frags = [(72, 720, "a"), (72, 680, "b"), (72, 640, "c")]
+    out = column_layout_order(frags)
+    assert [f for f, _ in out] == reading_order(frags)
+    assert all(lay == "double" for _, lay in out)
+
+
+def test_column_layout_uninterleaves_two_columns():
+    from webextract.functions.pdf import column_layout_order
+
+    frags = [
+        (72, 720, "L0"), (330, 720, "R0"),
+        (72, 680, "L1"), (330, 680, "R1"),
+    ]
+    # plain reading order interleaves the columns row by row — the
+    # exact failure the recovery path (recovery_to_doc.py:81) fixes
+    assert [t for _, _, t in reading_order(frags)] == [
+        "L0", "R0", "L1", "R1"
+    ]
+    out = column_layout_order(frags)
+    assert [f[2] for f, _ in out] == ["L0", "L1", "R0", "R1"]
+    assert all(lay == "double" for _, lay in out)
+
+
+def test_column_layout_spanner_flushes_segments():
+    from webextract.functions.pdf import column_layout_order
+
+    title = (100, 760, "T" + "x" * 59)  # x2 = 460 > 3w/4 → spanner
+    mid = (100, 650, "M" + "y" * 59)
+    frags = [
+        title,
+        (72, 720, "L0"), (330, 720, "R0"),
+        (72, 680, "L1"), (330, 680, "R1"),
+        mid,
+        (72, 620, "L2"), (330, 620, "R2"),
+        (72, 580, "L3"), (330, 580, "R3"),
+    ]
+    out = column_layout_order(frags)
+    assert [f[2] for f, _ in out] == [
+        title[2],
+        "L0", "L1", "R0", "R1",
+        mid[2],
+        "L2", "L3", "R2", "R3",
+    ]
+    assert [lay for _, lay in out] == (
+        ["single"] + ["double"] * 4 + ["single"] + ["double"] * 4
+    )
+
+
+def test_column_layout_classification_edges():
+    from webextract.functions.pdf import column_layout_order
+
+    # starts exactly AT w/4: fails both strict rules → spanner
+    out = column_layout_order([(153, 720, "eq"), (72, 700, "L")])
+    assert [(f[2], lay) for f, lay in out] == [
+        ("eq", "single"), ("L", "double")
+    ]
+    # starts left but crosses 3w/4 under the width model → spanner
+    wide = (72, 720, "w" * 65)  # x2 = 72 + 390 = 462 >= 459
+    out = column_layout_order([wide, (330, 700, "R")])
+    assert [lay for _, lay in out] == ["single", "double"]
+
+
 # ----------------------------------------------------- spark operators
 
 
@@ -310,3 +378,45 @@ def test_extract_any_dispatch(spark):
     )
     assert rows[7]["fmt"] == "pdf" and rows[7]["n_pages"] == len(pages)
     assert rows[7]["text"] == expect
+
+
+def test_pdf_columns_on_spark(spark):
+    """Column-aware extraction matches the planted segment/side/row
+    ground truth computed straight from the _pdf_col_plan formulas —
+    independently of column_layout_order — and provably differs from
+    plain reading order on every document."""
+    from webextract.operators.multimodal import (
+        pdf_columns,
+        synth_pdf_columns,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(10)], "doc_id long, text string"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in pdf_columns(synth_pdf_columns(docs)).collect()
+    }
+    for mid in range(10):
+        n_rows = mid % 3 + 3
+        h = n_rows if mid % 2 == 0 else n_rows // 2
+        lefts = ["L%d" % ((mid * 7 + r * 3) % 50) for r in range(n_rows)]
+        rights = ["R%d" % ((mid * 11 + r * 5) % 50) for r in range(n_rows)]
+        expect = ["T%02d" % (mid % 50) + "x" * 57]
+        expect += lefts[:h] + rights[:h]
+        if mid % 2 == 1:
+            expect.append("M%02d" % (mid % 50) + "y" * 57)
+            expect += lefts[h:] + rights[h:]
+        row = rows[mid]
+        assert row["text"] == " ".join(expect)
+        assert row["layout"] == "double"
+        assert row["n_spanners"] == 1 + mid % 2
+        assert row["n_left"] == n_rows and row["n_right"] == n_rows
+        assert row["n_chars"] == len(row["text"])
+        # plain reading order would interleave the columns row-wise
+        interleaved = ["T%02d" % (mid % 50) + "x" * 57]
+        for r in range(n_rows):
+            if mid % 2 == 1 and r == h:
+                interleaved.append("M%02d" % (mid % 50) + "y" * 57)
+            interleaved += [lefts[r], rights[r]]
+        assert row["text"] != " ".join(interleaved)

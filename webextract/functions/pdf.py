@@ -29,6 +29,7 @@ __all__ = [
     "encode_pdf",
     "parse_pdf",
     "reading_order",
+    "column_layout_order",
     "PdfError",
 ]
 
@@ -639,3 +640,56 @@ def reading_order(frags):
     key descending y (PDF origin is bottom-left), secondary ascending
     x. Emission order in the stream is typography, not reading order."""
     return sorted(frags, key=lambda f: (-f[1], f[0]))
+
+
+# Frozen layout width model: a fragment's x-extent is
+# x .. x + CHAR_ADVANCE * len(text). 12 pt Helvetica averages ~6.7
+# units per glyph; 6.0 is deliberately frozen (a layout heuristic the
+# oracle can restate exactly, not typography — glyph metrics are not
+# parsed).
+CHAR_ADVANCE = 6.0
+
+
+def column_layout_order(frags, page_width: float = 612.0):
+    """Two-column reading order — the analog of the reference's
+    ``sorted_layout_boxes`` (ppstructure/recovery/recovery_to_doc.py:
+    81-140, the multi-column layout recovery that plain ``sorted_boxes``
+    cannot express): fragments are walked top-to-bottom (descending y —
+    PDF origin is bottom-left — then ascending x) and classified
+    against the column grid exactly as the reference classifies layout
+    boxes against the page width ``w``:
+
+    * **left column** — starts left of ``w/4`` AND ends left of
+      ``3w/4`` (reference: ``x0 < w/4 and x2 < 3*w/4``),
+    * **right column** — starts right of ``w/4`` AND ends right of
+      ``w/2`` (reference: ``x0 > w/4 and x2 > w/2``),
+    * **full-width spanner** — anything else: both pending columns are
+      flushed (left then right, each in walk order) and the spanner is
+      emitted, labelled ``'single'``; column fragments are labelled
+      ``'double'``. A trailing flush emits the final columns.
+
+    The fragment x-extent uses the frozen :data:`CHAR_ADVANCE` width
+    model. Returns ``[(frag, layout), ...]`` in reading order. On a
+    genuinely two-column page this differs from :func:`reading_order`,
+    which interleaves the columns row by row — the exact failure the
+    reference's recovery path exists to fix (W2 in SURVEY §2).
+    """
+    out: list = []
+    left: list = []
+    right: list = []
+    q1, mid, q3 = page_width / 4.0, page_width / 2.0, 3.0 * page_width / 4.0
+    for f in sorted(frags, key=lambda f: (-f[1], f[0])):
+        x = f[0]
+        x2 = x + CHAR_ADVANCE * len(f[2])
+        if x < q1 and x2 < q3:
+            left.append((f, "double"))
+        elif x > q1 and x2 > mid:
+            right.append((f, "double"))
+        else:
+            out += left
+            out += right
+            left, right = [], []
+            out.append((f, "single"))
+    out += left
+    out += right
+    return out
