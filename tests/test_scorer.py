@@ -83,3 +83,27 @@ def test_empty_table():
 def test_scores_in_unit_interval():
     _, s, _ = _score("<nav><p><a href='/'>x</a></p></nav><p>" + "w " * 500 + "</p>")
     assert np.all((s >= 0.0) & (s <= 1.0))
+
+
+def test_score_mode_slow_excludes_link_mass():
+    """box_score_slow analog (db_postprocess.py:199-218): the slow mask
+    measures content on non-link text only, so a long block whose mass
+    is mostly anchor text scores strictly lower than under fast mode;
+    a link-free block scores identically under both."""
+    html = (
+        "<p><a href='/'>" + "link " * 60 + "</a>" + "tail " * 6 + "</p>"
+        "<p>" + "prose " * 60 + "</p>"
+    )
+    slow_cfg = dataclasses.replace(CFG, score_mode="slow")
+    _, fast, _ = _score(html)
+    _, slow, _ = _score(html, slow_cfg)
+    assert slow[0] < fast[0]          # link-heavy: finer mask demotes
+    assert slow[1] == fast[1]         # pure prose: masks coincide
+
+
+def test_score_mode_default_is_frozen_fast():
+    import pytest
+
+    assert CFG.score_mode == "fast"
+    with pytest.raises(ValueError):
+        ExtractConfig(score_mode="exact")

@@ -60,6 +60,15 @@ class ExtractConfig:
     # block text (functions/merger.py::md_decorate).
     markdown: bool = False
 
+    # region-score mask (the score_mode analog, db_postprocess.py:
+    # 40-43,131-133: "fast" = bbox mean over the whole candidate box,
+    # "slow" = mean over the exact polygon): "fast" scores a block's
+    # length on its WHOLE text extent; "slow" on the exact non-link
+    # content mass (text_len - link_text_len) — the finer mask that
+    # excludes the anchor glyphs from the content evidence. Default
+    # "fast" — goldens frozen.
+    score_mode: str = "fast"
+
     # RTL segment reversal (the arabic pred_reverse analog,
     # rec_postprocess.py:51-65): off by default — goldens are cut with
     # passthrough. Enable for an 'ar'-tagged subset of pages:
@@ -76,6 +85,8 @@ class ExtractConfig:
             raise ValueError("drop_score must be in [0,1]")
         if self.max_blocks <= 0 or self.max_html_bytes <= 0:
             raise ValueError("caps must be positive")
+        if self.score_mode not in ("fast", "slow"):
+            raise ValueError("score_mode must be 'fast' or 'slow'")
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -9,6 +9,11 @@ of text-density, link-density, tag-prior and depth features, computed
 with numpy over the whole block table at once (no per-block Python).
 
 Also implements:
+ * score_mode "slow" — the ``box_score_slow`` analog
+   (db_postprocess.py:199-218, selected at :131-133): the content-mass
+   evidence is measured over the exact non-link text (the polygon
+   mean) instead of the whole block extent (the bbox mean). Opt-in;
+   default "fast" keeps goldens byte-frozen;
  * neighbor smoothing — the ``use_dilation`` analog
    (db_postprocess.py:54-55): a near-miss block sandwiched between two
    kept blocks is rescued;
@@ -37,7 +42,15 @@ def score_blocks(blocks: dict[str, list], cfg: ExtractConfig) -> tuple[np.ndarra
         [TAG_BONUS.get(t, DEFAULT_TAG_BONUS) for t in blocks["tag"]], dtype=np.float64
     )
 
-    len_score = np.minimum(text_len, cfg.len_norm) / cfg.len_norm
+    # score_mode analog (db_postprocess.py:40-43,131-133): "fast"
+    # measures content mass over the block's whole text extent (the
+    # bbox mean); "slow" over the exact non-link content only (the
+    # polygon mean — anchor glyphs excluded from the evidence).
+    if cfg.score_mode == "slow":
+        content_len = np.maximum(text_len - link_len, 0.0)
+    else:
+        content_len = text_len
+    len_score = np.minimum(content_len, cfg.len_norm) / cfg.len_norm
     link_density = link_len / np.maximum(text_len, 1.0)
     depth_pen = np.minimum(np.maximum(depth - cfg.depth_norm, 0.0) / cfg.depth_norm, 1.0)
 
