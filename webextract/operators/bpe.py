@@ -237,24 +237,40 @@ def _select_batch(top: list, exhausted: bool, remaining: int) -> list:
     Why the prefix is safe (sketch): applying merge (l, r) changes
     pair counts ONLY for pairs sharing a symbol with {l, r} (they can
     only lose) and creates new pairs that each contain the merged
-    symbol l||r, with counts bounded by some old pair containing l or
-    r. Take candidates in frozen order while each is symbol-disjoint
-    — including the merged string — from all taken so far, then trim
-    trailing candidates that tie the first excluded pair's count.
-    Every excluded or newly-created pair then has count STRICTLY below
-    every taken candidate, and taken candidates' own counts and
+    symbol l||r. A new pair's count is bounded by the count of an old
+    pair containing l or r — for ``l != r`` always a pair DIFFERENT
+    from the member itself ((x, l||r) needs old context x,l,r, so it
+    is bounded by (x,l); (l||r, y) by (r,y)) — i.e. by an interacting
+    pair, which sorts at or after the walk's stopping point. The one
+    exception is a SELF-ADJACENT merge (``l == r``): its application
+    to a symbol run creates pairs like (ll, l) whose only bounding
+    old pair is the member itself, so no interacting-pair boundary
+    covers them (found by the hypothesis property: corpus
+    ``da ccc`` — merging (c,c) creates (cc,c) which ties (d,a) at
+    count 1 and wins the frozen tie-break). Hence: take candidates in
+    frozen order while each is symbol-disjoint — including the merged
+    string — from all taken so far, treating a self-adjacent
+    candidate (beyond the head) as a batch-ender exactly like an
+    interacting one, then trim trailing candidates that tie the first
+    excluded pair's count; a self-adjacent HEAD is always a batch of
+    one. Every excluded or newly-created pair then has count STRICTLY
+    below every taken candidate, and taken candidates' own counts and
     relative order are untouched by earlier batch members — so round
     j's sequential argmax is exactly batch[j]. A batch of one is the
     plain sequential step, the always-valid fallback.
     """
-    take = [top[0]]
     first = top[0]
+    if first.l == first.r:
+        # self-adjacent head: its own application can create pairs
+        # only it bounds — nothing after it is provably safe
+        return [first]
+    take = [first]
     used = {first.l, first.r, first.l + first.r}
     boundary = None
     for row in top[1:]:
         syms = {row.l, row.r, row.l + row.r}
-        if syms & used:
-            boundary = row.pair_cnt  # first interacting pair: stop
+        if syms & used or row.l == row.r:
+            boundary = row.pair_cnt  # first unsafe pair: stop
             break
         take.append(row)
         used |= syms
