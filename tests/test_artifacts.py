@@ -79,8 +79,16 @@ def test_registry_versioning_and_resolution(spark, docs, tmp_path):
         reg.load_tokenizer(spark, "no-such-model")
     with pytest.raises(ArtifactError):
         reg.load_tokenizer(spark, "web-bpe", version=9)
-    with pytest.raises(ArtifactError):
-        reg.save_tokenizer(merges, vocab, "../escape")
+    for bad in ("../escape", "..", ".", "a/b", ""):
+        with pytest.raises(ArtifactError):
+            reg.save_tokenizer(merges, vocab, bad)
+    # caller metadata must not shadow the integrity fields (and the
+    # refusal happens BEFORE any artifact write — no partial dir)
+    with pytest.raises(ArtifactError, match="reserved"):
+        reg.save_tokenizer(merges, vocab, "web-bpe", version=7)
+    assert not os.path.exists(
+        os.path.join(str(tmp_path), "web-bpe", "v00003")
+    )
 
 
 def test_registry_refuses_tampered_artifact(spark, docs, tmp_path):

@@ -7,7 +7,7 @@ pin the algorithm itself against a plain-Python Sennrich reference
 equivalence the oracle's fixpoint-replace argument relies on.
 """
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 
@@ -403,6 +403,11 @@ def _sim_batched(texts, n_merges, cap):
     ),
     st.integers(min_value=2, max_value=8),
 )
+# the self-adjacent counterexample that broke the original rule:
+# merging (c,c) creates (cc,c), which ties (d,a) at count 1 and wins
+# the frozen tie-break — pinned so the regression never depends on
+# hypothesis re-drawing it
+@example(words=["da", "ccc"], cap=2)
 @settings(max_examples=200, deadline=None)
 def test_select_batch_rule_matches_sequential(words, cap):
     """The non-interacting-prefix batch rule is EXACT: for random

@@ -247,7 +247,7 @@ def test_column_layout_single_column_is_plain_order():
     frags = [(72, 720, "a"), (72, 680, "b"), (72, 640, "c")]
     out = column_layout_order(frags)
     assert [f for f, _ in out] == reading_order(frags)
-    assert all(lay == "double" for _, lay in out)
+    assert all(side == "left" for _, side in out)
 
 
 def test_column_layout_uninterleaves_two_columns():
@@ -264,7 +264,7 @@ def test_column_layout_uninterleaves_two_columns():
     ]
     out = column_layout_order(frags)
     assert [f[2] for f, _ in out] == ["L0", "L1", "R0", "R1"]
-    assert all(lay == "double" for _, lay in out)
+    assert [side for _, side in out] == ["left", "left", "right", "right"]
 
 
 def test_column_layout_spanner_flushes_segments():
@@ -287,8 +287,9 @@ def test_column_layout_spanner_flushes_segments():
         mid[2],
         "L2", "L3", "R2", "R3",
     ]
-    assert [lay for _, lay in out] == (
-        ["single"] + ["double"] * 4 + ["single"] + ["double"] * 4
+    assert [side for _, side in out] == (
+        ["single"] + ["left", "left", "right", "right"]
+        + ["single"] + ["left", "left", "right", "right"]
     )
 
 
@@ -297,13 +298,51 @@ def test_column_layout_classification_edges():
 
     # starts exactly AT w/4: fails both strict rules → spanner
     out = column_layout_order([(153, 720, "eq"), (72, 700, "L")])
-    assert [(f[2], lay) for f, lay in out] == [
-        ("eq", "single"), ("L", "double")
+    assert [(f[2], side) for f, side in out] == [
+        ("eq", "single"), ("L", "left")
     ]
     # starts left but crosses 3w/4 under the width model → spanner
     wide = (72, 720, "w" * 65)  # x2 = 72 + 390 = 462 >= 459
     out = column_layout_order([wide, (330, 700, "R")])
-    assert [lay for _, lay in out] == ["single", "double"]
+    assert [side for _, side in out] == ["single", "right"]
+
+
+def test_column_layout_uses_page_width():
+    """The quartile grid scales with the page's real width: x=170 is a
+    left-column start on a 792-wide landscape page (q1=198) but a
+    right-column start on US Letter (q1=153) — the reference passes
+    the actual image w into sorted_layout_boxes for the same reason."""
+    from webextract.functions.pdf import column_layout_order
+
+    frags = [(170, 720, "A"), (600, 720, "B")]
+    wide = column_layout_order(frags, page_width=792.0)
+    assert [side for _, side in wide] == ["left", "right"]
+    # on US Letter, x=170 starts right of q1=153 but its extent ends
+    # left of mid=306 — neither column rule admits it → spanner
+    letter = column_layout_order(frags, page_width=612.0)
+    assert [side for _, side in letter] == ["single", "right"]
+    assert [f[2] for f, _ in letter] == ["A", "B"]
+
+
+def test_parse_pdf_reports_mediabox_widths():
+    from webextract.functions.pdf import parse_pdf
+
+    # writer emits US-Letter pages
+    version, pages, _, _, widths = parse_pdf(
+        encode_pdf([[(10, 10, "x")], [(10, 10, "y")]]), with_widths=True
+    )
+    assert widths == [612.0, 612.0]
+    # hand-rolled A4 page (595 wide) via the parser-only path
+    stream = b"BT /F1 12 Tf 170 700 Td (a) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+           b"/Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+    }
+    _, _, _, _, w2 = parse_pdf(_mini_pdf(objs), with_widths=True)
+    assert w2 == [595.0]
 
 
 # ----------------------------------------------------- spark operators

@@ -587,16 +587,20 @@ def _extract_text(content: bytes) -> list[tuple[float, float, str]]:
     return frags
 
 
-def parse_pdf(data: bytes):
+def parse_pdf(data: bytes, with_widths: bool = False):
     """Full-document parse → ``(version, pages)`` where ``pages`` is a
     list of fragment lists ``[(x, y, text), ...]`` in content-stream
     emission order, plus a flag set: ``compressed`` true if any page
     stream carried ``/FlateDecode``.
 
     Returns ``(version: str, pages: list, compressed: bool,
-    n_objects: int)``. Raises :class:`PdfError` on any structural
-    violation — there is no scavenging fallback, so a corrupt xref is
-    *detected*, not papered over.
+    n_objects: int)`` — or, with ``with_widths=True``, a 5-tuple whose
+    last element is the per-page MediaBox width (``x2 - x0`` from the
+    page's ``/MediaBox``, falling back to the root page-tree node's
+    box per the inheritable-attribute rule, else the 612.0 US-Letter
+    default). Raises :class:`PdfError` on any structural violation —
+    there is no scavenging fallback, so a corrupt xref is *detected*,
+    not papered over.
     """
     if not data.startswith(b"%PDF-"):
         raise PdfError("missing %PDF header")
@@ -615,7 +619,15 @@ def parse_pdf(data: bytes):
     _walk_pages(doc, pages_node, page_dicts)
     compressed = False
     pages = []
+    widths: list[float] = []
+    root_box = doc.resolve(pages_node.get("MediaBox"))
     for pg in page_dicts:
+        box = doc.resolve(pg.get("MediaBox"))
+        if not (isinstance(box, list) and len(box) == 4):
+            box = root_box if isinstance(root_box, list) and len(
+                root_box
+            ) == 4 else [0, 0, 612, 792]
+        widths.append(float(doc.resolve(box[2])) - float(doc.resolve(box[0])))
         contents = doc.resolve(pg.get("Contents"))
         if contents is None:
             pages.append([])
@@ -631,6 +643,8 @@ def parse_pdf(data: bytes):
             buf += doc.stream_data(obj)
             buf += b"\n"
         pages.append(_extract_text(bytes(buf)))
+    if with_widths:
+        return version, pages, compressed, len(doc.xref), widths
     return version, pages, compressed, len(doc.xref)
 
 
@@ -665,26 +679,28 @@ def column_layout_order(frags, page_width: float = 612.0):
       ``w/2`` (reference: ``x0 > w/4 and x2 > w/2``),
     * **full-width spanner** — anything else: both pending columns are
       flushed (left then right, each in walk order) and the spanner is
-      emitted, labelled ``'single'``; column fragments are labelled
-      ``'double'``. A trailing flush emits the final columns.
+      emitted. A trailing flush emits the final columns.
 
     The fragment x-extent uses the frozen :data:`CHAR_ADVANCE` width
-    model. Returns ``[(frag, layout), ...]`` in reading order. On a
-    genuinely two-column page this differs from :func:`reading_order`,
-    which interleaves the columns row by row — the exact failure the
-    reference's recovery path exists to fix (W2 in SURVEY §2).
+    model. Returns ``[(frag, side), ...]`` in reading order with
+    ``side`` ∈ ``'left' | 'right' | 'single'`` — the classification
+    the walk actually used (the reference's per-box ``'double'`` label
+    is ``side != 'single'``). On a genuinely two-column page this
+    differs from :func:`reading_order`, which interleaves the columns
+    row by row — the exact failure the reference's recovery path
+    exists to fix (W2 in SURVEY §2).
     """
     out: list = []
     left: list = []
     right: list = []
     q1, mid, q3 = page_width / 4.0, page_width / 2.0, 3.0 * page_width / 4.0
-    for f in sorted(frags, key=lambda f: (-f[1], f[0])):
+    for f in reading_order(frags):
         x = f[0]
         x2 = x + CHAR_ADVANCE * len(f[2])
         if x < q1 and x2 < q3:
-            left.append((f, "double"))
+            left.append((f, "left"))
         elif x > q1 and x2 > mid:
-            right.append((f, "double"))
+            right.append((f, "right"))
         else:
             out += left
             out += right

@@ -1272,21 +1272,22 @@ def pdf_columns(media: DataFrame) -> DataFrame:
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    _, pages, _, _ = parse_pdf(bytes(payload))
+                    _, pages, _, _, widths = parse_pdf(
+                        bytes(payload), with_widths=True
+                    )
                 except PdfError:
                     continue
                 for p, frags in enumerate(pages):
-                    ordered = column_layout_order(frags)
-                    n_span = sum(1 for _, lay in ordered if lay == "single")
-                    # column side from the same classification walk:
-                    # double-labelled frags left of w/4 are the left
-                    # column (the classifier admitted them via the
-                    # left rule), the rest the right column
-                    n_left = sum(
-                        1 for f, lay in ordered
-                        if lay == "double" and f[0] < 153.0
+                    # classify against the page's ACTUAL MediaBox width
+                    # (A4 / landscape pages get their own quartiles,
+                    # like the reference passing the real image w)
+                    ordered = column_layout_order(
+                        frags, page_width=widths[p]
                     )
-                    n_right = len(ordered) - n_span - n_left
+                    sides = [side for _, side in ordered]
+                    n_span = sides.count("single")
+                    n_left = sides.count("left")
+                    n_right = sides.count("right")
                     joined = " ".join(f[2] for f, _ in ordered)
                     rows["media_id"].append(int(mid))
                     rows["page_no"].append(p + 1)

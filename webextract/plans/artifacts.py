@@ -51,9 +51,11 @@ def _fingerprint(df: DataFrame, cols: list[str]) -> tuple[int, int]:
     ``cols``: ``bit_xor`` of per-row ``xxhash64`` on the canonical
     ``:``-joined string. Distributed, one aggregate, no collect; XOR
     is commutative so partitioning/order never changes the value."""
-    canon = F.xxhash64(
-        F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
-    )
+    # hash the columns STRUCTURALLY (xxhash64 over the typed values,
+    # not a delimiter-joined string): concat_ws would skip NULLs and
+    # make values containing the delimiter ambiguous, letting distinct
+    # rows collide — unacceptable in a trust gate
+    canon = F.xxhash64(*[F.col(c) for c in cols])
     r = (
         df.select(canon.alias("x"))
         .agg(
@@ -68,6 +70,21 @@ def _fingerprint(df: DataFrame, cols: list[str]) -> tuple[int, int]:
 MERGE_COLS = ["step", "left_sym", "right_sym", "merged", "pair_cnt"]
 VOCAB_COLS = ["syms", "cnt"]
 
+# manifest fields the registry computes itself; caller **meta that
+# shadowed one (e.g. version=7) would publish a manifest pointing at a
+# directory that does not exist, or a permanently "tampered" model
+_RESERVED_KEYS = frozenset(
+    {
+        "name",
+        "version",
+        "kind",
+        "n_merges",
+        "merges_fingerprint",
+        "n_vocab",
+        "vocab_fingerprint",
+    }
+)
+
 
 class ModelRegistry:
     """Named, versioned artifact store rooted at ``store_dir``."""
@@ -78,7 +95,12 @@ class ModelRegistry:
     # -- paths -------------------------------------------------------------
 
     def _name_dir(self, name: str) -> str:
-        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        # "." and ".." match the charset but resolve OUTSIDE the name
+        # directory (store root / its parent) — reject any name without
+        # an alphanumeric along with the charset violations
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or not re.search(
+            r"[A-Za-z0-9]", name
+        ):
             raise ArtifactError(f"invalid model name {name!r}")
         return os.path.join(self.store_dir, name)
 
@@ -124,6 +146,11 @@ class ModelRegistry:
         existing ``v*`` directory — including manifest-less leftovers
         of a crashed save — so a partial directory is never written
         into."""
+        clash = set(meta) & _RESERVED_KEYS
+        if clash:
+            raise ArtifactError(
+                f"meta keys {sorted(clash)} are reserved manifest fields"
+            )
         dirs = self._version_dirs(name)
         version = (dirs[-1][0] + 1) if dirs else 1
         vdir = os.path.join(self._name_dir(name), f"v{version:05d}")
