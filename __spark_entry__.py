@@ -126,6 +126,38 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-store scan, the LMDBDataSet analog (SURVEY §2 S5;
+    ``ppocr/data/lmdb_dataset.py:26-151``): pages → range-sharded SKV
+    blobs (``page-%09d`` keys, html values, pure-JVM u32be framing,
+    one groupBy shuffle) → manifest-pruned key-range lookup
+    (``kv_range`` drops every shard whose [min_key, max_key] misses
+    the probe range BEFORE the one Arrow parse — the B-tree-descent /
+    Iceberg-file-skip analog) → md5 + octet length per surviving
+    record. The oracle rebuilds html from ``documents`` and applies
+    the same zero-padded key arithmetic, so a framing, sort-order, or
+    pruning bug anywhere breaks the hash."""
+    from webextract.sources.kvstore import kv_range, synth_kv_shards
+
+    pages = pages_from_documents(spark, sf_dir)
+    kv = pages.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("html"),
+    )
+    shards = synth_kv_shards(
+        kv,
+        F.format_string("page-%09d", F.col("doc_id")),
+        F.col("html"),
+        F.floor(F.col("doc_id") / 64),
+    )
+    hit = kv_range(shards, "page-000000050", "page-000000349")
+    return hit.select(
+        "key",
+        F.md5("value").alias("value_md5"),
+        F.length("value").cast("long").alias("n_bytes"),
+    )
+
+
 def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction joined back to page metadata (equi-join on url — the
     golden-compare join shape, SURVEY.md §2.3 J5), rolled up per lang."""
@@ -2105,6 +2137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_LOCAL_r5.json)."""
     return {
         # -- round 5: new or changed --
+        # kv_scan: new (S5 — the LMDBDataSet KV-store scan analog:
+        # range-sharded SKV store + manifest-pruned range lookup)
+        "kv_scan": q_kv_scan,
         # pdf_text/pdf_meta: new (REAL PDF parse — xref walk, page
         # tree, FlateDecode, text-operator tokenize, reading-order
         # assembly; ground-truth planted-formula oracles)
@@ -2613,6 +2648,15 @@ def oracle_sql() -> dict[str, str]:
                               {_PAGE_HTML} AS html
                        FROM documents)
             SELECT url, CAST(ts_s AS BIGINT) AS ts_s, md5(html) AS html_md5,
+                   CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes
+            FROM h
+        """,
+        "kv_scan": f"""
+            WITH h AS (SELECT doc_id, {_PAGE_HTML} AS html
+                       FROM documents
+                       WHERE doc_id BETWEEN 50 AND 349)
+            SELECT 'page-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key,
+                   md5(html) AS value_md5,
                    CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes
             FROM h
         """,

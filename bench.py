@@ -76,6 +76,7 @@ def main() -> None:
         "mixed_extract",
         "extract_markdown",
         "warc_roundtrip",
+        "kv_scan",
         "tables",
         "layout_regions",
         "dedup_exact",
