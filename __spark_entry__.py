@@ -158,6 +158,45 @@ def q_kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-URL set, the MEMBERSHIP sketch of the crawl
+    frontier (count-min's boolean twin; the incremental-crawl analog
+    of the reference's processed-file ledger). The filter is built in
+    one pass over the OLD crawl (doc_id % 5 != 4 — the crawl_diff
+    plant), every url of the new crawl probes it, and the per-bucket
+    counters pin construction, probing, AND both error directions:
+    ``n_false_neg`` must be 0 structurally (Bloom filters never
+    forget), ``n_false_pos`` exposes the collision rate at the
+    planted m/n ratio. Oracle restates the frozen md5 bit positions,
+    the 64-bit word packing, and the bit_or/mask arithmetic."""
+    from webextract.operators.sampling import bloom_build, bloom_probe
+
+    m_bits, k = 16384, 4
+    urls = pages_from_documents(spark, sf_dir).select(
+        "url",
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+    )
+    seen = urls.filter(F.col("doc_id") % 5 != 4)
+    sketch = bloom_build(seen, "url", m_bits=m_bits, k=k)
+    probed = bloom_probe(sketch, urls, "url", m_bits=m_bits, k=k)
+    truly = F.col("doc_id") % 5 != 4
+    return (
+        probed.withColumn("truly_seen", truly)
+        .groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(F.col("truly_seen").cast("long")).alias("n_seen_true"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hit"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("truly_seen")).cast("long")
+            ).alias("n_false_pos"),
+            F.sum(
+                (~F.col("bloom_hit") & F.col("truly_seen")).cast("long")
+            ).alias("n_false_neg"),
+        )
+    )
+
+
 def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction joined back to page metadata (equi-join on url — the
     golden-compare join shape, SURVEY.md §2.3 J5), rolled up per lang."""
@@ -2140,6 +2179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kv_scan: new (S5 — the LMDBDataSet KV-store scan analog:
         # range-sharded SKV store + manifest-pruned range lookup)
         "kv_scan": q_kv_scan,
+        # bloom_seen: new (seen-URL membership sketch — count-min's
+        # boolean twin; both error directions ground-truth-pinned)
+        "bloom_seen": q_bloom_seen,
         # pdf_text/pdf_meta: new (REAL PDF parse — xref walk, page
         # tree, FlateDecode, text-operator tokenize, reading-order
         # assembly; ground-truth planted-formula oracles)
@@ -2659,6 +2701,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(html) AS value_md5,
                    CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes
             FROM h
+        """,
+        "bloom_seen": f"""
+            WITH u AS (SELECT doc_id, {_URL} AS url FROM documents),
+            pw AS (
+              SELECT doc_id, url, j,
+                     bit // 32 AS word_idx,
+                     CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER) AS mask
+              FROM (
+                SELECT doc_id, url, j,
+                       CAST(('0x' || substr(md5('b' || CAST(j AS VARCHAR)
+                                                || ':' || url), 1, 8))
+                            AS BIGINT) % 16384 AS bit
+                FROM u, unnest([0, 1, 2, 3]) AS t(j))),
+            sketch AS (SELECT word_idx, bit_or(mask) AS bits
+                       FROM pw WHERE doc_id % 5 != 4 GROUP BY 1),
+            probe AS (
+              SELECT p.doc_id,
+                     SUM(CASE WHEN s.bits IS NOT NULL
+                               AND (s.bits & p.mask) = p.mask
+                         THEN 1 ELSE 0 END) = 4 AS bloom_hit
+              FROM pw p LEFT JOIN sketch s USING (word_idx)
+              GROUP BY 1)
+            SELECT doc_id % 10 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(SUM(CASE WHEN doc_id % 5 != 4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_seen_true,
+                   CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bloom_hit,
+                   CAST(SUM(CASE WHEN bloom_hit AND doc_id % 5 = 4
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                   CAST(SUM(CASE WHEN NOT bloom_hit AND doc_id % 5 != 4
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+            FROM probe GROUP BY 1
         """,
         "extract_lang_stats": f"""
             WITH e AS (SELECT lang, {_EXTRACTED} AS text FROM documents)

@@ -77,6 +77,7 @@ def main() -> None:
         "extract_markdown",
         "warc_roundtrip",
         "kv_scan",
+        "bloom_seen",
         "tables",
         "layout_regions",
         "dedup_exact",

@@ -616,3 +616,113 @@ def count_min_hosts(
         "est_n",
         (F.col("est_n") - F.col("true_n")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the MEMBERSHIP sketch (count-min's boolean twin)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bit(key: Column, j: Column, m_bits: int) -> Column:
+    """The frozen Bloom bit position for hash function ``j``: md5 of
+    ``'b' || j || ':' || key``, first 8 hex chars as int, mod m_bits —
+    the same engine-portable, seedless construction as :func:`cm_cell`
+    (the ``'b'`` prefix keeps the two sketch families' hash spaces
+    disjoint, so sharing a key never correlates their errors)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("b"), j.cast("string"), F.lit(":"), key)
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def _bloom_positions(
+    df: DataFrame, key_col: str, k: int, m_bits: int
+) -> DataFrame:
+    """Map-only (key, j, word_idx, mask) rows, ``k`` per key: the bit
+    position packed 32 bits per int64 word (word_idx = bit / 32,
+    mask = 1 << (bit % 32)). 32, not 64: shift 63 would set the int64
+    sign bit, which DuckDB rejects as a checked overflow — capping the
+    shift at 31 keeps every mask positive and the packing
+    engine-portable at the cost of half the word (the filter row
+    count stays ≤ m_bits/32, still negligible)."""
+    rows = df.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    ).select(
+        key_col,
+        "j",
+        bloom_bit(F.col(key_col), F.col("j"), m_bits).alias("bit"),
+    )
+    return rows.select(
+        key_col,
+        "j",
+        F.floor(F.col("bit") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str = "url", m_bits: int = 16384, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over a key column → (word_idx, bits): the
+    seen-set of a crawl frontier (has this url ever been fetched?),
+    the membership twin of :func:`count_min_hosts`'s frequency sketch.
+
+    ONE corpus pass: k map-only position rows per key, partial-agg
+    ``bit_or`` groupBy on word_idx — the filter is ≤ m_bits/32 rows
+    no matter the corpus size, and mergeable across
+    partitions/crawls/streams by word-wise OR (the same
+    cell-mergeability argument as count-min). No false negatives by
+    construction; false-positive rate ≈ (1 - e^(-k·n/m))^k, so size
+    m_bits ~ 10·n for ~1–2% at k=4. At 10^12 urls the filter is
+    ~1.25 TB — past broadcast range — which is why probes join on
+    word_idx (an equi-shuffle that AQE turns back into a broadcast
+    whenever the filter IS small) instead of assuming a driver-side
+    bitmap like a single-machine crawler would."""
+    return (
+        _bloom_positions(df, key_col, k, m_bits)
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 16384,
+    k: int = 4,
+) -> DataFrame:
+    """Probe keys against a built filter → probes + ``bloom_hit``
+    (true iff ALL k bits are set). A LEFT join on word_idx keeps keys
+    whose words are entirely absent from the filter (guaranteed miss);
+    the hit test is ``count(bit set) == k`` per key — pure JVM bit
+    arithmetic, no Python."""
+    pos = _bloom_positions(probes, key_col, k, m_bits)
+    hits = (
+        pos.join(sketch, "word_idx", "left")
+        .withColumn(
+            "bit_set",
+            (F.col("bits").isNotNull())
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+        )
+        .groupBy(key_col)
+        .agg(
+            (F.sum(F.col("bit_set").cast("int")) == F.lit(k)).alias(
+                "bloom_hit"
+            )
+        )
+    )
+    return probes.join(hits, key_col)
