@@ -645,7 +645,7 @@ def bloom_bit(key: Column, j: Column, m_bits: int) -> Column:
     )
 
 
-def _bloom_positions(
+def bloom_positions(
     df: DataFrame, key_col: str, k: int, m_bits: int
 ) -> DataFrame:
     """Map-only (key, j, word_idx, mask) rows, ``k`` per key: the bit
@@ -692,7 +692,7 @@ def bloom_build(
     whenever the filter IS small) instead of assuming a driver-side
     bitmap like a single-machine crawler would."""
     return (
-        _bloom_positions(df, key_col, k, m_bits)
+        bloom_positions(df, key_col, k, m_bits)
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
     )
@@ -710,7 +710,7 @@ def bloom_probe(
     whose words are entirely absent from the filter (guaranteed miss);
     the hit test is ``count(bit set) == k`` per key — pure JVM bit
     arithmetic, no Python."""
-    pos = _bloom_positions(probes, key_col, k, m_bits)
+    pos = bloom_positions(probes, key_col, k, m_bits)
     hits = (
         pos.join(sketch, "word_idx", "left")
         .withColumn(
