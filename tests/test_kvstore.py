@@ -119,3 +119,25 @@ def test_on_disk_store_roundtrip_and_file_skip(spark, tmp_path):
     assert sorted({r.shard_id for r in rows}) == [5, 6]
     empty = read_kv(spark, store, "zzz", "zzzz")
     assert empty.count() == 0
+
+
+def test_roundtrip_property_unicode_keys_empty_values(spark):
+    """Adversarial record shapes: unicode keys, empty and binary-ish
+    values, single-record shards — framing must round-trip all of
+    them byte-identically (the property analog of the WARC framing
+    tests)."""
+    rows = [
+        ("k-açé-中文-0", b""),
+        ("k-emoji-\U0001f600-1", b"\x00\x01\xff\xfe"),
+        ("k-plain-2", b"v" * 10_000),
+        ("k-quote-\"'\t-3", "body — unicode".encode()),
+    ]
+    df = spark.createDataFrame(
+        [(k, bytearray(v), i) for i, (k, v) in enumerate(rows)],
+        "key string, val binary, id long",
+    )
+    shards = synth_kv_shards(
+        df, F.col("key"), F.col("val"), F.col("id") % 2
+    )
+    got = {r.key: bytes(r.value) for r in parse_kv(shards).collect()}
+    assert got == dict(rows)
