@@ -197,6 +197,22 @@ def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facade_rec_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's rec-only mode — ``WebExtractor().extract(pages,
+    det=False)``, the ``ocr(img, det=False, rec=True)`` analog
+    (paddleocr.py:513): the page is treated as already-cropped content,
+    so EVERY DOM block is retained and stitched (no boilerplate
+    filtering). The oracle states the full six-block template stream
+    verbatim — nav, headline, body, both related-links, footer — joined
+    by the frozen separator, so the flag algebra, the keep-all config
+    path, AND the unfiltered merge order are all pinned."""
+    from webextract.api import WebExtractor
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = WebExtractor().extract(pages, det=False)
+    return out.select("url", "text", "blocks_kept")
+
+
 def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction joined back to page metadata (equi-join on url — the
     golden-compare join shape, SURVEY.md §2.3 J5), rolled up per lang."""
@@ -2182,6 +2198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom_seen: new (seen-URL membership sketch — count-min's
         # boolean twin; both error directions ground-truth-pinned)
         "bloom_seen": q_bloom_seen,
+        # facade_rec_only: new (API-parity facade, ocr(det=False)
+        # analog — keep-all config path under the oracle)
+        "facade_rec_only": q_facade_rec_only,
         # pdf_text/pdf_meta: new (REAL PDF parse — xref walk, page
         # tree, FlateDecode, text-operator tokenize, reading-order
         # assembly; ground-truth planted-formula oracles)
@@ -2734,6 +2753,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN NOT bloom_hit AND doc_id % 5 != 4
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
             FROM probe GROUP BY 1
+        """,
+        "facade_rec_only": f"""
+            SELECT {_URL} AS url,
+                   'Home About Contact' || chr(10) || chr(10) ||
+                   'Document ' || CAST(doc_id AS VARCHAR) || ' from ' ||
+                   source || chr(10) || chr(10) ||
+                   text || chr(10) || chr(10) ||
+                   'Related one' || chr(10) || chr(10) ||
+                   'Related two' || chr(10) || chr(10) ||
+                   'Terms of Service Privacy Policy' AS text,
+                   CAST(6 AS INTEGER) AS blocks_kept
+            FROM documents
         """,
         "extract_lang_stats": f"""
             WITH e AS (SELECT lang, {_EXTRACTED} AS text FROM documents)

@@ -78,6 +78,7 @@ def main() -> None:
         "warc_roundtrip",
         "kv_scan",
         "bloom_seen",
+        "facade_rec_only",
         "tables",
         "layout_regions",
         "dedup_exact",

@@ -22,6 +22,7 @@ the reference repo's observable behavior).
 
 __version__ = "0.1.0"
 
+from webextract.api import WebExtractor, WebStructure  # noqa: F401
 from webextract.config import ExtractConfig  # noqa: F401
 from webextract.functions.extract import extract_page  # noqa: F401
 from webextract.operators.extract import (  # noqa: F401
